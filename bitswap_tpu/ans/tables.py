@@ -1,0 +1,101 @@
+"""Integer pmf/CDF table construction for the rANS coder.
+
+The coder consumes *integer* tables: per-dimension pmf rows summing exactly to
+2**PRECISION_BITS and zero-padded cumulative rows.  The quantization semantics
+replicate the reference `ANS.__init__` (mnist_compress.py:29-47) exactly:
+
+    multiplier = 2**31 - 2**quantbits
+    pmf_int    = trunc(pmf_float * multiplier)        # truncation, not round
+    pmf_int   += 1                                     # no zero-frequency bins
+    pmf_int[argmax(pmf_int)] += 2**31 - sum(pmf_int)   # dump remainder
+
+All entries then lie in [1, 2**31) and every cumulative row ends at exactly
+2**31 — so both pmf and cdf fit in uint32, which is what the TPU lane coder
+uses (TPU has no native 64-bit integers; see ans/vectorized.py).
+
+Two entry points:
+- `quantize_pmfs(pmf_float)`: quantize already-materialized float pmfs.
+- `build_tables_from_cdf(endpoint_cdfs)`: fuse the pmf construction the codec
+  drivers do by hand (diff of CDFs at bin endpoints + the two open tail bins,
+  mnist_compress.py:183-185) with the quantization — one jit-fusable op, no
+  host round-trip, no (support+2)-wide float intermediate in HBM.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+PRECISION_BITS = 31  # reference `ansbits` (mnist_compress.py:76)
+TOTAL_MASS = 1 << PRECISION_BITS
+
+
+class AnsTables(NamedTuple):
+    """Integer coder tables for a batch of symbol rows.
+
+    pmf: (..., seq_len, support) uint32 — frequencies, sum == 2**31 per row.
+    cdf: (..., seq_len, support + 1) uint32 — exclusive cumulative, cdf[...,0]
+         == 0 and cdf[..., -1] == 2**31.
+    """
+
+    pmf: jnp.ndarray
+    cdf: jnp.ndarray
+
+    @property
+    def support(self) -> int:
+        return self.pmf.shape[-1]
+
+
+def quantize_pmfs(pmf_float, quantbits: int) -> AnsTables:
+    """Quantize float pmf rows to integer frequency + cumulative tables.
+
+    pmf_float: (..., seq_len, support) float array of per-dimension bin
+    masses (need not be exactly normalized — the reference's aren't either,
+    since they come from CDF differences with clamped tails).
+    """
+    multiplier = float((1 << PRECISION_BITS) - (1 << quantbits))
+    # Clamp: in float32 table mode a CDF difference can round to a tiny
+    # negative value, which must not wrap when cast to uint32.  (The f64 path
+    # never hits this; the reference ran f64 throughout.)
+    pmf_float = jnp.maximum(pmf_float, 0.0)
+    # trunc matches torch .long() (round toward zero; pmfs are non-negative)
+    pmf = jnp.trunc(pmf_float * multiplier).astype(jnp.uint32) + jnp.uint32(1)
+    # Remainder to the (first) argmax bin; argmax of the post-+1 integers, as
+    # in the reference (mnist_compress.py:36).  The subtraction wraps mod 2**32
+    # when float rounding makes the row sum overshoot 2**31; adding the wrapped
+    # value to the argmax bin is exact two's-complement arithmetic and the true
+    # result is always non-negative (the argmax bin dwarfs |remainder|).
+    remainder = (jnp.uint32(TOTAL_MASS) - jnp.sum(pmf, axis=-1, keepdims=True)).astype(
+        jnp.uint32
+    )
+    amax = jnp.argmax(pmf, axis=-1, keepdims=True)
+    support = pmf.shape[-1]
+    onehot = (
+        jnp.arange(support, dtype=jnp.int32) == amax.astype(jnp.int32)
+    ).astype(jnp.uint32)
+    pmf = pmf + onehot * remainder
+    cdf = _exclusive_cumsum(pmf)
+    return AnsTables(pmf=pmf, cdf=cdf)
+
+
+def build_tables_from_cdf(endpoint_cdfs, quantbits: int) -> AnsTables:
+    """Build tables from CDF values at the support's interior bin endpoints.
+
+    endpoint_cdfs: (..., seq_len, support - 1) float CDF evaluations at the
+    interior endpoints (the codec evaluates logistic_cdf at `zendpoints` /
+    `xendpoints`).  The pmf is the CDF difference with the two open tail bins
+    cdf[0] and 1 - cdf[-1] prepended/appended (mnist_compress.py:184-185).
+    """
+    left = endpoint_cdfs[..., :1]
+    right = 1.0 - endpoint_cdfs[..., -1:]
+    mid = endpoint_cdfs[..., 1:] - endpoint_cdfs[..., :-1]
+    pmf_float = jnp.concatenate([left, mid, right], axis=-1)
+    return quantize_pmfs(pmf_float, quantbits)
+
+
+def _exclusive_cumsum(pmf_u32):
+    """Zero-padded cumulative sum in uint32 (exact: total mass is 2**31)."""
+    cum = jnp.cumsum(pmf_u32.astype(jnp.uint32), axis=-1, dtype=jnp.uint32)
+    zero = jnp.zeros(pmf_u32.shape[:-1] + (1,), dtype=jnp.uint32)
+    return jnp.concatenate([zero, cum], axis=-1)

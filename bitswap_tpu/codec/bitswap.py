@@ -1,0 +1,285 @@
+"""Bit-Swap and BB-ANS codec drivers — fully device-resident, lane-parallel.
+
+Re-design of the reference sender/receiver loops (mnist_compress.py:163-358
+and the cifar/imagenet/imagenetcrop/demo copies).  The reference ping-pongs
+between GPU (VAE pass) and CPU (per-symbol big-int ANS loop) 2*nz+1 times per
+datapoint at batch size 1; here one jitted function per datapoint performs
+every VAE pass, CDF table build, and coder scan on device, batched over L
+independent stream lanes.  A lane is one ANS stream — one reference
+"experiment" (mnist_compress.py:147) or one image's block sequence
+(imagenetcrop_compress.py:122-128) — so L images/experiments are coded in
+lockstep.
+
+Coding order within a datapoint (Bit-Swap sender, mnist_compress.py:179-205):
+  for zi in 0..nz-1:   DECODE z_{zi+1} under q(z_{zi+1}|·)  then
+                       ENCODE z_zi (or x) under p(·|z_{zi+1})
+  finally              ENCODE z_nz under the Logistic(0,1) prior
+BB-ANS instead decodes all layers bottom-up first, then encodes all
+(mnist_compress.py:209-243).  The receiver mirrors exactly in reverse.
+
+Symbol order: latents/pixels are flattened in canonical NHWC order; this is
+a framework-internal convention (the reference flattens NCHW) — streams are
+self-consistent, and the bins tables use the same order.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bitswap_tpu.ans.tables import build_tables_from_cdf
+from bitswap_tpu.ans.vectorized import (
+    LaneState,
+    ans_decode_lanes,
+    ans_encode_lanes,
+    init_lane_state,
+)
+from bitswap_tpu.codec.discretize import DiscretizationBins
+from bitswap_tpu.models.vae import VAEConfig, generate_apply, infer_apply
+from bitswap_tpu.ops.bins import image_bins
+from bitswap_tpu.ops.logistic import logistic_cdf
+
+
+@dataclasses.dataclass(frozen=True)
+class CodecConfig:
+    """Static codec parameters (the reference's per-script constants)."""
+
+    model: VAEConfig
+    quantbits: int = 10
+    bitswap: bool = True  # False -> BB-ANS
+    # table evaluation dtype: float64 reproduces the reference's compression
+    # mode (mnist_compress.py:77) and is exact on CPU; float32 is the fast
+    # TPU-native mode (self-consistent: encoder and decoder build identical
+    # tables from identical inputs)
+    table_dtype: str = "float32"
+    init_words: int = 10000  # mnist_compress.py:158
+    capacity: int = 65536  # per-lane stream buffer words
+
+    @property
+    def zsupport(self) -> int:
+        return 1 << self.quantbits
+
+
+class Codec:
+    """Jitted encode/decode closures over (params, bins).
+
+    encode_datapoints(state, xs (T, L, xdim) int32) -> state
+    decode_datapoints(state, T) -> (state, xs (T, L, xdim) int32)  [reverse order]
+    """
+
+    def __init__(self, params, ccfg: CodecConfig, bins: DiscretizationBins):
+        self.ccfg = ccfg
+        cfg = ccfg.model
+        dt = jnp.dtype(ccfg.table_dtype)
+        self._params = params
+
+        self.zendpoints = jnp.asarray(bins.zendpoints, dt)  # (nz, zdim, S-1)
+        self.zcentres = jnp.asarray(bins.zcentres, dt)  # (nz, zdim, S)
+        xe, xc = image_bins(dtype=dt)
+        self.xendpoints = xe  # (255,)
+        self.xcentres = xc  # (256,)
+
+        # static prior tables (top layer, Logistic(0,1)): shared by all lanes
+        prior_cdfs = logistic_cdf(
+            self.zendpoints[cfg.nz - 1], jnp.asarray(0.0, dt), jnp.asarray(1.0, dt)
+        )  # (zdim, S-1)
+        self.prior_cdf_table = build_tables_from_cdf(prior_cdfs, ccfg.quantbits).cdf
+
+        self._encode_jit = jax.jit(self._encode_seq)
+        self._decode_jit = jax.jit(self._decode_seq, static_argnums=(1,))
+
+    # -- table builders ----------------------------------------------------
+
+    def _z_tables(self, zi: int, mu, scale):
+        """(L, zdim, S+1) uint32 cdf tables for latent layer zi given the
+        per-lane conditional Logistic params (each (L, zdim))."""
+        dt = self.zendpoints.dtype
+        mu = mu.astype(dt)[:, :, None]
+        scale = scale.astype(dt)[:, :, None]
+        cdfs = logistic_cdf(self.zendpoints[zi][None], mu, scale)
+        return build_tables_from_cdf(cdfs, self.ccfg.quantbits).cdf
+
+    def _x_tables(self, mu, scale):
+        """(L, xdim, 257) uint32 cdf tables for the pixel layer (quantbits=8,
+        mnist_compress.py:203)."""
+        dt = self.xendpoints.dtype
+        mu = mu.astype(dt)[:, :, None]
+        scale = scale.astype(dt)[:, :, None]
+        cdfs = logistic_cdf(self.xendpoints[None, None, :], mu, scale)
+        return build_tables_from_cdf(cdfs, 8).cdf
+
+    # -- model bridging ----------------------------------------------------
+
+    def _infer(self, zi: int, given_flat):
+        """given_flat: (L, xdim or zdim) bin-centre values; returns flattened
+        (mu, scale) each (L, zdim).  The cast mirrors the reference's
+        compress-mode float64->float32->float64 bridge (mnist_train.py:
+        321-377)."""
+        cfg = self.ccfg.model
+        shape = (-1,) + (cfg.xs if zi == 0 else cfg.zshape)
+        given = given_flat.astype(jnp.float32).reshape(shape)
+        mu, scale = infer_apply(self._params, cfg, zi, given)
+        return mu.reshape(mu.shape[0], -1), scale.reshape(scale.shape[0], -1)
+
+    def _generate(self, zi: int, z_flat):
+        cfg = self.ccfg.model
+        given = z_flat.astype(jnp.float32).reshape((-1,) + cfg.zshape)
+        mu, scale = generate_apply(self._params, cfg, zi, given)
+        return mu.reshape(mu.shape[0], -1), scale.reshape(scale.shape[0], -1)
+
+    def _zcentre_lookup(self, zi: int, sym):
+        """(L, zdim) bin centres for symbol indices sym (L, zdim)."""
+        zdim = sym.shape[1]
+        return self.zcentres[zi][jnp.arange(zdim)[None, :], sym]
+
+    # -- single-datapoint sender/receiver -----------------------------------
+
+    def _encode_one(self, state: LaneState, x) -> LaneState:
+        """x: (L, xdim) int32 pixels.  Bit-Swap: mnist_compress.py:179-205;
+        BB-ANS: :209-243; shared prior encode: :246-251."""
+        nz = self.ccfg.model.nz
+        num_lanes = x.shape[0]
+
+        def infer_decode(zi, zsym):
+            given = self.xcentres[x] if zi == 0 else self._zcentre_lookup(zi - 1, zsym)
+            mu, scale = self._infer(zi, given)
+            cdf = self._z_tables(zi, mu, scale)
+            return ans_decode_lanes(state_ref[0], cdf)
+
+        def generate_encode(zi, zsymtop, zsym):
+            zc = self._zcentre_lookup(zi, zsymtop)
+            mu, scale = self._generate(zi, zc)
+            if zi == 0:
+                cdf = self._x_tables(mu, scale)
+                return ans_encode_lanes(state_ref[0], cdf, x)
+            cdf = self._z_tables(zi - 1, mu, scale)
+            return ans_encode_lanes(state_ref[0], cdf, zsym)
+
+        state_ref = [state]
+        if self.ccfg.bitswap:
+            zsym = None
+            for zi in range(nz):
+                st, zsymtop = infer_decode(zi, zsym)
+                state_ref[0] = st
+                state_ref[0] = generate_encode(zi, zsymtop, zsym)
+                zsym = zsymtop
+        else:
+            zs: List[jnp.ndarray] = []
+            zsym = None
+            for zi in range(nz):
+                st, zsymtop = infer_decode(zi, zsym)
+                state_ref[0] = st
+                zs.append(zsymtop)
+                zsym = zsymtop
+            for zi in range(nz):
+                zsymtop = zs[zi]
+                prev = x if zi == 0 else zs[zi - 1]
+                state_ref[0] = generate_encode(zi, zsymtop, None if zi == 0 else prev)
+
+        # encode the top sample under the prior
+        prior = jnp.broadcast_to(
+            self.prior_cdf_table[None], (num_lanes,) + self.prior_cdf_table.shape
+        )
+        return ans_encode_lanes(state_ref[0], prior, zsym if self.ccfg.bitswap else zs[-1])
+
+    def _decode_one(self, state: LaneState, num_lanes: int) -> Tuple[LaneState, jnp.ndarray]:
+        """Receiver for one datapoint (mnist_compress.py:284-354).  Returns
+        (state, x (L, xdim) int32)."""
+        nz = self.ccfg.model.nz
+        prior = jnp.broadcast_to(
+            self.prior_cdf_table[None], (num_lanes,) + self.prior_cdf_table.shape
+        )
+        state, zsymtop = ans_decode_lanes(state, prior)
+
+        if self.ccfg.bitswap:
+            for zi in reversed(range(nz)):
+                zc = self._zcentre_lookup(zi, zsymtop)
+                mu, scale = self._generate(zi, zc)
+                if zi == 0:
+                    state, sym = ans_decode_lanes(state, self._x_tables(mu, scale))
+                    given = self.xcentres[sym]
+                else:
+                    state, sym = ans_decode_lanes(state, self._z_tables(zi - 1, mu, scale))
+                    given = self._zcentre_lookup(zi - 1, sym)
+                mu, scale = self._infer(zi, given)
+                state = ans_encode_lanes(state, self._z_tables(zi, mu, scale), zsymtop)
+                zsymtop = sym
+            return state, zsymtop
+        else:
+            zs = [zsymtop]
+            for zi in reversed(range(nz)):
+                zc = self._zcentre_lookup(zi, zsymtop)
+                mu, scale = self._generate(zi, zc)
+                if zi == 0:
+                    state, sym = ans_decode_lanes(state, self._x_tables(mu, scale))
+                else:
+                    state, sym = ans_decode_lanes(state, self._z_tables(zi - 1, mu, scale))
+                zs.append(sym)
+                zsymtop = sym
+            x = zs[-1]
+            # re-encode the latents bottom-up to give the bits back
+            # (mnist_compress.py:339-352)
+            zsymtop = zs[0]
+            for zi in reversed(range(nz)):
+                sym = zs[nz - zi]  # z_zi (or x when zi == 0... see below)
+                given = self.xcentres[x] if zi == 0 else self._zcentre_lookup(zi - 1, sym)
+                mu, scale = self._infer(zi, given)
+                state = ans_encode_lanes(state, self._z_tables(zi, mu, scale), zsymtop)
+                zsymtop = sym
+            return state, x
+
+    # -- sequence drivers ----------------------------------------------------
+
+    def _encode_seq(self, state: LaneState, xs):
+        """xs: (T, L, xdim) int32 — scan the sender over datapoints."""
+
+        def step(st, x):
+            return self._encode_one(st, x), None
+
+        state, _ = jax.lax.scan(step, state, xs)
+        return state
+
+    def _decode_seq(self, state: LaneState, num_datapoints: int):
+        num_lanes = state.buf.shape[0]
+
+        def step(st, _):
+            st, x = self._decode_one(st, num_lanes)
+            return st, x
+
+        state, xs = jax.lax.scan(step, state, None, length=num_datapoints)
+        # receiver pops datapoints in reverse encode order (LIFO,
+        # mnist_compress.py:278); return them in natural order
+        return state, xs[::-1]
+
+    # -- public API ----------------------------------------------------------
+
+    def init_state(self, num_lanes: int, seed: int = 100) -> LaneState:
+        return init_lane_state(
+            num_lanes,
+            capacity=self.ccfg.capacity,
+            seed=seed,
+            init_words=self.ccfg.init_words,
+        )
+
+    def encode_datapoints(self, state: LaneState, xs) -> LaneState:
+        """xs: (T, L, xdim) int32."""
+        return self._encode_jit(state, xs)
+
+    def decode_datapoints(self, state: LaneState, num_datapoints: int):
+        return self._decode_jit(state, num_datapoints)
+
+
+def make_codec(params, ccfg: CodecConfig, bins: DiscretizationBins) -> Codec:
+    return Codec(params, ccfg, bins)
+
+
+def net_words(state: LaneState) -> np.ndarray:
+    """Per-lane stream length in 32-bit words, counting the head as the
+    reference does (the head is one list element regardless of 33..64-bit
+    occupancy: len(state) = words + 1)."""
+    return np.asarray(state.sp) + 1

@@ -1,0 +1,176 @@
+"""Benchmark: full Bit-Swap codec throughput on one TPU chip.
+
+Measures end-to-end encode+decode throughput (MB/s of uncompressed pixel
+data through the complete pipeline: hierarchical-VAE passes, CDF table
+builds, and the lane-parallel rANS coder — all on device), verifies the
+round-trip is bit-exact, and reports coding tightness D = net - ELBO.
+
+The reference publishes no throughput numbers (SURVEY.md §6), so
+`vs_baseline` is the speedup over the reference's coding architecture — the
+per-symbol host-side big-int ANS loop (mnist_compress.py:49-68) driving the
+same model, measured on this same machine and extrapolated from a timed
+sample.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from bitswap_tpu.models import VAEConfig, init_params, data_dependent_init
+    from bitswap_tpu.models.vae import loss_per_sample
+    from bitswap_tpu.codec.discretize import discretize_bins
+    from bitswap_tpu.codec.bitswap import CodecConfig, make_codec, net_words
+    from bitswap_tpu.ans.vectorized import lane_state_to_ref_lists
+    from bitswap_tpu.train.data import synthetic_images
+    from bitswap_tpu.train.runtime import load_params
+
+    dev = jax.devices()[0]
+    print(f"# device: {dev.device_kind} ({dev.platform})", file=sys.stderr)
+
+    # MNIST-class flagship codec config (mnist_compress.py:107: nz=4 -> reswidth 62)
+    cfg = VAEConfig(xs=(32, 32, 1), nz=4, zchannels=1, nprocessing=4,
+                    kernel_size=3, resdepth=8, reswidth=62)
+    quantbits = 10
+    L, T = 64, 8  # lanes x datapoints per timed encode call
+
+    key = jax.random.PRNGKey(0)
+    params = init_params(key, cfg)
+    warm = synthetic_images(64, cfg.xs, seed=1).astype(np.float32)
+    params = data_dependent_init(params, cfg, jax.random.PRNGKey(1), jnp.asarray(warm))
+    import os
+    ckpt = "params/mnist/nz4.msgpack"
+    if os.path.exists(ckpt):
+        params = load_params(ckpt, params)
+        print(f"# loaded trained checkpoint {ckpt}", file=sys.stderr)
+
+    bins = discretize_bins(params, cfg, quantbits, jax.random.PRNGKey(2),
+                           data=synthetic_images(512, cfg.xs, seed=2),
+                           cache_path=f"bins/bench_mnist_nz{cfg.nz}_qb{quantbits}.npz")
+
+    ccfg = CodecConfig(model=cfg, quantbits=quantbits, bitswap=True,
+                       table_dtype="float32", init_words=2048, capacity=131072)
+    codec = make_codec(params, ccfg, bins)
+
+    xs = synthetic_images(T * L, cfg.xs, seed=3).reshape(T, L, cfg.xdim).astype(np.int32)
+    xs_dev = jnp.asarray(xs)
+
+    # --- warm-up compile + correctness ---
+    state0 = codec.init_state(L)
+    t0 = time.time()
+    state = codec.encode_datapoints(state0, xs_dev)
+    jax.block_until_ready(state.buf)
+    print(f"# encode compile+run: {time.time()-t0:.1f}s", file=sys.stderr)
+    assert not np.any(np.asarray(state.overflow)), "stream overflow"
+    t0 = time.time()
+    state_back, decoded = codec.decode_datapoints(state, T)
+    jax.block_until_ready(decoded)
+    print(f"# decode compile+run: {time.time()-t0:.1f}s", file=sys.stderr)
+    np.testing.assert_array_equal(np.asarray(decoded), xs)
+    assert lane_state_to_ref_lists(state_back) == lane_state_to_ref_lists(state0), \
+        "bits-back invariant violated"
+    print("# round-trip exact, bits-back state restored", file=sys.stderr)
+
+    # rate tightness: net bits/dim vs ELBO
+    w0, w1 = net_words(state0), net_words(state)
+    net_bpd = float(np.mean((w1 - w0) * 32.0 / (T * cfg.xdim)))
+    elbos = []
+    for t in range(min(T, 4)):
+        xb = jnp.asarray(xs[t].reshape((L,) + cfg.xs).astype(np.float32))
+        elbos.append(np.asarray(loss_per_sample(params, cfg, jax.random.PRNGKey(t), xb)))
+    elbo_bpd = float(np.mean(elbos))
+    print(f"# net {net_bpd:.3f} b/d vs ELBO {elbo_bpd:.3f} b/d (D={net_bpd-elbo_bpd:+.4f})",
+          file=sys.stderr)
+
+    # --- timed runs ---
+    def timed(fn, *args, reps=3):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            out = fn(*args)
+            jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+            best = min(best, time.time() - t0)
+        return best, out
+
+    enc_t, _ = timed(codec.encode_datapoints, state0, xs_dev)
+    dec_t, _ = timed(lambda s: codec.decode_datapoints(s, T), state)
+    mbytes = T * L * cfg.xdim / 1e6
+    enc_mbs = mbytes / enc_t
+    dec_mbs = mbytes / dec_t
+    total_mbs = 2 * mbytes / (enc_t + dec_t)
+    print(f"# encode {enc_mbs:.3f} MB/s, decode {dec_mbs:.3f} MB/s "
+          f"({mbytes:.2f} MB, enc {enc_t:.2f}s dec {dec_t:.2f}s)", file=sys.stderr)
+
+    # --- reference-architecture baseline on this host ---
+    ref_mbs = _reference_coder_mbs(params, cfg, codec, bins, xs[0, :1], quantbits)
+    print(f"# reference-architecture (host big-int loop): {ref_mbs:.4f} MB/s",
+          file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "bitswap encode+decode throughput per chip",
+        "value": round(total_mbs, 3),
+        "unit": "MB/s",
+        "vs_baseline": round(total_mbs / ref_mbs, 1),
+        "detail": {
+            "encode_MBps": round(enc_mbs, 3),
+            "decode_MBps": round(dec_mbs, 3),
+            "net_bits_per_dim": round(net_bpd, 4),
+            "elbo_bits_per_dim": round(elbo_bpd, 4),
+            "coding_overhead_D": round(net_bpd - elbo_bpd, 4),
+            "lanes": L, "datapoints": T, "model": "mnist nz=4 rw62 qb10",
+            "roundtrip_exact": True,
+            "reference_loop_MBps": round(ref_mbs, 4),
+        },
+    }))
+
+
+def _reference_coder_mbs(params, cfg, codec, bins, x_single, quantbits):
+    """Time the reference's coding architecture: per-symbol host big-int ANS
+    (RefANS is that state machine) fed by per-call table quantization, one
+    lane, batch 1 — extrapolated to MB/s from a sample of symbols."""
+    import jax.numpy as jnp
+
+    from bitswap_tpu.ans.reference import RefANS, fresh_state
+    from bitswap_tpu.ans.tables import quantize_pmfs
+    from bitswap_tpu.ops.logistic import logistic_cdf
+
+    # build one realistic x-layer table set (the dominant cost profile):
+    # infer pass for mu/scale then per-dim tables, like mnist_compress.py:181-203
+    x = jnp.asarray(x_single, jnp.int32)  # (1, xdim)
+    given = codec.xcentres[x]
+    mu, scale = codec._infer(0, given)
+    cdfs = logistic_cdf(
+        codec.zendpoints[0][None], mu.astype(codec.zendpoints.dtype)[:, :, None],
+        scale.astype(codec.zendpoints.dtype)[:, :, None],
+    )
+    left = cdfs[..., :1]
+    right = 1.0 - cdfs[..., -1:]
+    mid = cdfs[..., 1:] - cdfs[..., :-1]
+    pmf = jnp.concatenate([left, mid, right], axis=-1)[0]
+    t0 = time.time()
+    tables = quantize_pmfs(pmf, quantbits)
+    ref = RefANS(np.asarray(tables.pmf), np.asarray(tables.cdf))
+    state = fresh_state(seed=1, nwords=4096)
+    rng = np.random.default_rng(0)
+    syms = rng.integers(0, ref.pmf.shape[1], size=ref.seq_len)
+    state = ref.encode(state, syms)
+    ref.decode(state)
+    dt = time.time() - t0
+    # that sample coded seq_len symbols twice (enc+dec); per datapoint the
+    # reference runs (2nz+1) such ops plus 2nz+1 model passes — count only
+    # the coding, which is strictly favorable to the baseline
+    nsym = 2 * ref.seq_len
+    bytes_per_sym = 1.0  # one uint8-equivalent dim per symbol
+    return (nsym * bytes_per_sym / 1e6) / dt
+
+
+if __name__ == "__main__":
+    main()

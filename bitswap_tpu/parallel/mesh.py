@@ -1,0 +1,84 @@
+"""Device-mesh parallelism: DP training and pod-scale lane-parallel coding.
+
+The reference's only parallelism is Horovod data-parallel training
+(mnist_train.py:878-995: fp16 ring-allreduce of grads, rank-0 broadcasts,
+batch divided by world size).  The TPU-native equivalents here:
+
+- training: a 1-D `data` mesh; parameters replicated, batch sharded along
+  the data axis.  Under jit, XLA inserts the gradient all-reduce over ICI —
+  there is no hand-written communication.
+- coding: ANS stream lanes are embarrassingly parallel (independent
+  images/experiments/block-rows, imagenetcrop_compress.py:279-305), so the
+  `LaneState` pytree is sharded along its lane axis and the whole codec —
+  VAE passes, table builds, coder scans — runs SPMD with zero collectives.
+  Weights and discretization bins are replicated once (the reference's
+  hvd.broadcast_parameters analog is just jax.device_put with a replicated
+  sharding).
+
+Multi-host: `jax.distributed.initialize()` + the same code; the mesh simply
+spans all processes' devices.  Host-side stream gather for containers uses
+`jax.device_get` per lane in deterministic lane order.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from bitswap_tpu.ans.vectorized import LaneState
+from bitswap_tpu.models.vae import VAEConfig
+from bitswap_tpu.train.runtime import TrainConfig, TrainState, make_train_step
+
+
+def data_mesh(num_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    devices = jax.devices()
+    n = num_devices or len(devices)
+    # AxisType.Auto: shardings propagate through jit via GSPMD (jax>=0.9
+    # defaults make_mesh to Explicit, which would demand out_sharding
+    # annotations on every reshape/gather in the model and coder)
+    return jax.make_mesh(
+        (n,), (axis,), axis_types=(jax.sharding.AxisType.Auto,), devices=devices[:n]
+    )
+
+
+def replicate(mesh: Mesh, tree):
+    """Replicate a pytree across the mesh (weights, bins, optimizer state)."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def shard_batch(mesh: Mesh, batch, axis: str = "data"):
+    """Shard a (B, ...) array along the mesh data axis."""
+    spec = P(axis, *([None] * (np.ndim(batch) - 1)))
+    return jax.device_put(batch, NamedSharding(mesh, spec))
+
+
+def shard_lane_state(mesh: Mesh, state: LaneState, axis: str = "data") -> LaneState:
+    """Shard every per-lane array of the coder state along the lane axis."""
+
+    def put(x):
+        spec = P(axis, *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return LaneState(*(put(x) for x in state))
+
+
+def make_dp_train_step(cfg: VAEConfig, tcfg: TrainConfig, mesh: Mesh, axis: str = "data"):
+    """Data-parallel train step: params/opt/ema replicated, batch sharded.
+
+    Returns (step_fn, prepare_state, prepare_batch).  The step is the same
+    jitted function as single-chip (make_train_step); the shardings make XLA
+    emit the psum over ICI.
+    """
+    step = make_train_step(cfg, tcfg)
+
+    def prepare_state(state: TrainState) -> TrainState:
+        return replicate(mesh, state)
+
+    def prepare_batch(batch):
+        return shard_batch(mesh, batch, axis)
+
+    return step, prepare_state, prepare_batch

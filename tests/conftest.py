@@ -9,11 +9,18 @@ float64 — the lane coder itself is pure uint32 and runs identically either way
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force the CPU backend: the ambient environment routes JAX to the TPU
+# tunnel ("axon" platform, one chip, high per-call latency), and its
+# sitecustomize re-pins jax_platforms after import — so the env var alone is
+# not enough; the config must be updated post-import as well.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+assert len(jax.devices()) == 8 and jax.devices()[0].platform == "cpu"

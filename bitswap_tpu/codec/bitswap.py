@@ -91,7 +91,9 @@ class Codec:
         self.prior_cdf_table = build_tables_from_cdf(prior_cdfs, ccfg.quantbits).cdf
 
         self._encode_jit = jax.jit(self._encode_seq)
+        self._encode_counts_jit = jax.jit(self._encode_seq_counts)
         self._decode_jit = jax.jit(self._decode_seq, static_argnums=(1,))
+        self._rest_sp_jit = jax.jit(self._rest_sp)
 
     # -- table builders ----------------------------------------------------
 
@@ -244,6 +246,34 @@ class Codec:
         state, _ = jax.lax.scan(step, state, xs)
         return state
 
+    def _encode_seq_counts(self, state: LaneState, xs):
+        """Like _encode_seq but also returns the per-datapoint stack pointers
+        (T, L) — the experiment harness derives the reference's `nets`/`cma`
+        metrics from these (mnist_compress.py:254-260)."""
+
+        def step(st, x):
+            st2 = self._encode_one(st, x)
+            return st2, st2.sp
+
+        state, sps = jax.lax.scan(step, state, xs)
+        return state, sps
+
+    def _rest_sp(self, state: LaneState, x):
+        """Stack pointer right after the first decode op(s) of the first
+        datapoint — the reference's `restbits` snapshot used to discount
+        unconsumed initial bits (mnist_compress.py:190-193 Bit-Swap;
+        :225-227 BB-ANS takes it after ALL nz decodes)."""
+        nz = self.ccfg.model.nz
+        given = self.xcentres[x]
+        mu, scale = self._infer(0, given)
+        st, zsymtop = ans_decode_lanes(state, self._z_tables(0, mu, scale))
+        if not self.ccfg.bitswap:
+            for zi in range(1, nz):
+                given = self._zcentre_lookup(zi - 1, zsymtop)
+                mu, scale = self._infer(zi, given)
+                st, zsymtop = ans_decode_lanes(st, self._z_tables(zi, mu, scale))
+        return st.sp
+
     def _decode_seq(self, state: LaneState, num_datapoints: int):
         num_lanes = state.buf.shape[0]
 
@@ -269,6 +299,14 @@ class Codec:
     def encode_datapoints(self, state: LaneState, xs) -> LaneState:
         """xs: (T, L, xdim) int32."""
         return self._encode_jit(state, xs)
+
+    def encode_datapoints_with_counts(self, state: LaneState, xs):
+        """Returns (state, sp_per_datapoint (T, L) int32)."""
+        return self._encode_counts_jit(state, xs)
+
+    def rest_sp(self, state: LaneState, x0):
+        """The reference's `restbits` stack pointer (see _rest_sp)."""
+        return self._rest_sp_jit(state, x0)
 
     def decode_datapoints(self, state: LaneState, num_datapoints: int):
         return self._decode_jit(state, num_datapoints)

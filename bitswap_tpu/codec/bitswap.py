@@ -92,6 +92,7 @@ class Codec:
 
         self._encode_jit = jax.jit(self._encode_seq)
         self._encode_counts_jit = jax.jit(self._encode_seq_counts)
+        self._encode_minsp_jit = jax.jit(self._encode_seq_minsp)
         self._decode_jit = jax.jit(self._decode_seq, static_argnums=(1,))
         self._rest_sp_jit = jax.jit(self._rest_sp)
 
@@ -141,9 +142,15 @@ class Codec:
 
     # -- single-datapoint sender/receiver -----------------------------------
 
-    def _encode_one(self, state: LaneState, x) -> LaneState:
+    def _encode_one(self, state: LaneState, x, min_sp=None):
         """x: (L, xdim) int32 pixels.  Bit-Swap: mnist_compress.py:179-205;
-        BB-ANS: :209-243; shared prior encode: :246-251."""
+        BB-ANS: :209-243; shared prior encode: :246-251.
+
+        When `min_sp` (L,) int32 is given, it is folded with the stack
+        pointer after every decode op — the reference demo's
+        `excess_state_len` tracker (demo_compress.py:113-137: the stack only
+        shrinks during decodes, so the global minimum occurs at a
+        decode-op boundary) — and (state, min_sp) is returned."""
         nz = self.ccfg.model.nz
         num_lanes = x.shape[0]
 
@@ -151,7 +158,10 @@ class Codec:
             given = self.xcentres[x] if zi == 0 else self._zcentre_lookup(zi - 1, zsym)
             mu, scale = self._infer(zi, given)
             cdf = self._z_tables(zi, mu, scale)
-            return ans_decode_lanes(state_ref[0], cdf)
+            st, sym = ans_decode_lanes(state_ref[0], cdf)
+            if min_sp_ref[0] is not None:
+                min_sp_ref[0] = jnp.minimum(min_sp_ref[0], st.sp)
+            return st, sym
 
         def generate_encode(zi, zsymtop, zsym):
             zc = self._zcentre_lookup(zi, zsymtop)
@@ -163,6 +173,7 @@ class Codec:
             return ans_encode_lanes(state_ref[0], cdf, zsym)
 
         state_ref = [state]
+        min_sp_ref = [min_sp]
         if self.ccfg.bitswap:
             zsym = None
             for zi in range(nz):
@@ -187,7 +198,10 @@ class Codec:
         prior = jnp.broadcast_to(
             self.prior_cdf_table[None], (num_lanes,) + self.prior_cdf_table.shape
         )
-        return ans_encode_lanes(state_ref[0], prior, zsym if self.ccfg.bitswap else zs[-1])
+        out = ans_encode_lanes(state_ref[0], prior, zsym if self.ccfg.bitswap else zs[-1])
+        if min_sp is not None:
+            return out, min_sp_ref[0]
+        return out
 
     def _decode_one(self, state: LaneState, num_lanes: int) -> Tuple[LaneState, jnp.ndarray]:
         """Receiver for one datapoint (mnist_compress.py:284-354).  Returns
@@ -258,6 +272,21 @@ class Codec:
         state, sps = jax.lax.scan(step, state, xs)
         return state, sps
 
+    def _encode_seq_minsp(self, state: LaneState, xs):
+        """Like _encode_seq but threads the per-lane minimum stack pointer
+        reached at any decode-op boundary through the scan — the demo
+        codec's initial-bits trim count (demo_compress.py:113-160: words
+        below the minimum were never consumed, so they can be dropped from
+        the container)."""
+
+        def step(carry, x):
+            st, msp = carry
+            st2, msp2 = self._encode_one(st, x, min_sp=msp)
+            return (st2, msp2), None
+
+        (state, min_sp), _ = jax.lax.scan(step, (state, state.sp), xs)
+        return state, min_sp
+
     def _rest_sp(self, state: LaneState, x):
         """Stack pointer right after the first decode op(s) of the first
         datapoint — the reference's `restbits` snapshot used to discount
@@ -303,6 +332,12 @@ class Codec:
     def encode_datapoints_with_counts(self, state: LaneState, xs):
         """Returns (state, sp_per_datapoint (T, L) int32)."""
         return self._encode_counts_jit(state, xs)
+
+    def encode_datapoints_with_min_sp(self, state: LaneState, xs):
+        """Returns (state, min_sp (L,) int32) — min_sp words at the bottom of
+        each lane's stack were never consumed and may be trimmed from the
+        serialized container (demo_compress.py:160)."""
+        return self._encode_minsp_jit(state, xs)
 
     def rest_sp(self, state: LaneState, x0):
         """The reference's `restbits` stack pointer (see _rest_sp)."""

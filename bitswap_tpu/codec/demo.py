@@ -42,7 +42,7 @@ def _load_image(path: str) -> np.ndarray:
 
 
 def _build_codec(params=None, table_dtype: str = "float32", data_dir: str = "data",
-                 capacity: int = 1 << 20):
+                 capacity: int = 1 << 20, bitswap: bool = True):
     """Model + bins + codec for the demo config (demo_compress.py:85-105:
     imagenetcrop checkpoint, nz=4, quantbits=10)."""
     import jax
@@ -69,7 +69,7 @@ def _build_codec(params=None, table_dtype: str = "float32", data_dir: str = "dat
         params, cfg, _QUANTBITS, jax.random.PRNGKey(2), data=train_data,
         cache_path=os.path.join("bins", f"imagenetcrop_nz{_NZ}_qb{_QUANTBITS}.npz"),
     )
-    ccfg = CodecConfig(model=cfg, quantbits=_QUANTBITS, bitswap=True,
+    ccfg = CodecConfig(model=cfg, quantbits=_QUANTBITS, bitswap=bitswap,
                        table_dtype=table_dtype, init_words=_INIT_WORDS,
                        capacity=capacity)
     return make_codec(params, ccfg, bins), cfg

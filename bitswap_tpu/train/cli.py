@@ -152,6 +152,11 @@ def main(argv=None) -> int:
                 step += 1
                 if step % 50 == 0 and is_root:
                     m = {k_: float(v) for k_, v in metrics.items() if np.ndim(v) == 0}
+                    # per-layer bits/dim (reference's x / z{i} tensorboard
+                    # scalars, mnist_train.py:703-712) — stackplot input
+                    m["bits/x"] = float(metrics["recon"])
+                    for zi, kl in enumerate(np.asarray(metrics["kl_per_layer"])):
+                        m[f"bits/z{zi + 1}"] = float(kl)
                     dt = time.time() - t_epoch
                     m["steps_per_sec"] = 50 / dt if step > 50 else 0.0
                     t_epoch = time.time()

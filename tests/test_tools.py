@@ -1,0 +1,141 @@
+"""Tooling layer: full-image benchmark, data prep converter, plots."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+def _structured_rgb(h, w, seed):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.zeros((h, w, 3), np.float32)
+    for ch in range(3):
+        fx, fy = rng.uniform(0.02, 0.15, 2)
+        img[:, :, ch] = 127.5 + 90 * np.sin(2 * np.pi * (fx * xx + fy * yy) + ch)
+    img += rng.normal(0, 5, img.shape)
+    return np.clip(np.round(img), 0, 255).astype(np.uint8)
+
+
+class TestCreateImagenet:
+    def test_folder_to_npy(self, tmp_path):
+        from PIL import Image
+
+        from bitswap_tpu.train.create_imagenet import convert_path_to_npy
+
+        src = tmp_path / "imgs"
+        src.mkdir()
+        want = []
+        for i in range(5):
+            arr = _structured_rgb(32, 32, i)
+            want.append(arr)
+            Image.fromarray(arr).save(src / f"{i:03d}.png")
+        out = tmp_path / "data.npy"
+        arr = convert_path_to_npy(str(src), str(out))
+        assert arr.shape == (5, 32, 32, 3) and arr.dtype == np.uint8
+        np.testing.assert_array_equal(arr, np.stack(want))
+        np.testing.assert_array_equal(np.load(out), arr)
+
+    def test_rejects_wrong_size(self, tmp_path):
+        from PIL import Image
+
+        from bitswap_tpu.train.create_imagenet import convert_path_to_npy
+
+        src = tmp_path / "imgs"
+        src.mkdir()
+        Image.fromarray(_structured_rgb(48, 48, 0)).save(src / "bad.png")
+        with pytest.raises(AssertionError):
+            convert_path_to_npy(str(src))
+
+
+class TestPlots:
+    def test_cma_table_and_plot(self, tmp_path):
+        from bitswap_tpu.plots.cma import plot_cma, table_rows
+
+        d = tmp_path / "mnist4"
+        d.mkdir()
+        rng = np.random.default_rng(0)
+        for scheme in ("bitswap", "bbans"):
+            nets = rng.normal(1.27, 0.01, (4, 10))
+            np.save(d / f"{scheme}_10bits_nets.npy", nets)
+            np.save(d / f"{scheme}_10bits_elbos.npy", nets - 0.002)
+            np.save(d / f"{scheme}_10bits_cmas.npy", nets + 0.02)
+            np.save(d / f"{scheme}_10bits_total.npy", nets * 1024)
+        txt = table_rows(str(tmp_path), datasets=("mnist",), nzs=(4,))
+        assert "mnist" in txt and "bitswap" in txt and "bbans" in txt
+        # MNIST rescale applied: values around 1.27 * (32^2/28^2) ~ 1.66
+        assert "1.6" in txt
+        out = plot_cma(str(tmp_path), "mnist", 4)
+        assert os.path.exists(out)
+
+    def test_stackplot_from_jsonl(self, tmp_path):
+        from bitswap_tpu.plots.stackplot import stackplot
+
+        path = tmp_path / "train.jsonl"
+        with open(path, "w") as f:
+            for step in range(0, 500, 50):
+                rec = {"step": step, "train/elbo": 2.0,
+                       "train/bits/x": 1.2 + 0.1 * np.sin(step / 100),
+                       "train/bits/z1": 0.5, "train/bits/z2": 0.3}
+                f.write(json.dumps(rec) + "\n")
+        out = stackplot(str(path))
+        assert os.path.exists(out)
+
+    def test_stackplot_from_csv_dir(self, tmp_path):
+        from bitswap_tpu.plots.stackplot import stackplot
+
+        for name in ("x", "z1"):
+            with open(tmp_path / f"{name}.csv", "w") as f:
+                f.write("Wall time,Step,Value\n")
+                for s in range(10):
+                    f.write(f"0,{s},{1.0 + 0.1 * s}\n")
+        out = stackplot(str(tmp_path))
+        assert os.path.exists(out)
+
+
+class TestFullImage:
+    def test_fullimage_benchmark_with_tiny_codec(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from PIL import Image
+
+        from bitswap_tpu.codec.bitswap import CodecConfig, make_codec
+        from bitswap_tpu.codec.discretize import discretize_bins
+        from bitswap_tpu.codec.fullimage import run_fullimage_benchmark
+        from bitswap_tpu.models import VAEConfig, data_dependent_init, init_params
+
+        cfg = VAEConfig(xs=(32, 32, 3), nz=2, zchannels=2, nprocessing=1,
+                        resdepth=2, reswidth=8)
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        warm = np.stack([_structured_rgb(32, 32, i) for i in range(16)]).astype(np.float32)
+        params = data_dependent_init(params, cfg, jax.random.PRNGKey(1), jnp.asarray(warm))
+        data = np.stack([_structured_rgb(32, 32, i + 50) for i in range(32)]).astype(np.float32)
+        bins = discretize_bins(params, cfg, quantbits=6, key=jax.random.PRNGKey(2),
+                               data=data, batch_size=32)
+        codecs = {
+            scheme: make_codec(
+                params,
+                CodecConfig(model=cfg, quantbits=6, bitswap=(scheme == "bitswap"),
+                            init_words=512, capacity=65536),
+                bins,
+            )
+            for scheme in ("bitswap", "bbans")
+        }
+
+        paths = []
+        for i in range(4):
+            # two sizes -> two block-count groups (2 and 4 blocks)
+            h, w = (32, 64) if i % 2 else (64, 64)
+            p = str(tmp_path / f"img{i}.png")
+            Image.fromarray(_structured_rgb(h, w, i)).save(p)
+            paths.append(p)
+
+        res = run_fullimage_benchmark(paths, n_images=4, codecs=codecs,
+                                      verbose=False)
+        assert res.n_images == 4
+        for scheme in ("gzip", "bz2", "lzma", "png", "webp", "bitswap", "bbans"):
+            assert scheme in res.rates
+            assert 0 < res.rates[scheme] < 40, (scheme, res.rates[scheme])
+        assert res.per_image["bitswap"].shape == (4,)

@@ -134,13 +134,66 @@ def lane_state_from_ref_lists(states, capacity: int) -> LaneState:
 # ---------------------------------------------------------------------------
 
 
+def _div_digit(y_hi, y_lo, p):
+    """One 16-bit quotient digit: (d, r_hi, r_lo) = divmod(y_hi*2**32+y_lo, p)
+    where the caller guarantees quotient < 2**16 (i.e. y < p*2**16, so
+    y_hi < 2**15 since p < 2**31).
+
+    The digit is estimated with an f32 reciprocal and corrected exactly in
+    uint32.  Error analysis: y_hi < 2**15 converts to f32 exactly and the
+    2**32 scale is a power of two, so |yf - y| <= 2**-23*y; the reciprocal
+    and product each add <= 2**-24 relative error; with d < 2**16 the
+    absolute quotient error is < 0.03, so after floor the estimate is within
+    +/-1 of the true digit.  Two branch-free correction rounds per side keep
+    a safety margin.
+    """
+    F = jnp.float32
+    yf = y_hi.astype(F) * F(4294967296.0) + y_lo.astype(F)
+    d = jnp.floor(yf / p.astype(F)).astype(_U32)
+    m_hi, m_lo = _mul_u32_u32(d, p)
+    borrow = (y_lo < m_lo).astype(_U32)
+    r_lo = y_lo - m_lo
+    r_hi = y_hi - m_hi - borrow  # two's-complement pair; negative iff d high
+    for _ in range(2):  # d too high: rem negative (top bit of r_hi set)
+        neg = (r_hi >> _U32(31)) & _U32(1)
+        d = d - neg
+        add = r_lo + neg * p
+        carry = (add < r_lo).astype(_U32)
+        r_lo = add
+        r_hi = r_hi + carry  # (r_hi, r_lo) += (0, p): carry propagates the wrap
+    for _ in range(2):  # d too low: rem >= p
+        big = ((r_hi > _U32(0)) | (r_lo >= p)).astype(_U32)
+        d = d + big
+        sub_borrow = (r_lo < big * p).astype(_U32)
+        r_lo = r_lo - big * p
+        r_hi = r_hi - sub_borrow
+    return d, r_lo
+
+
 def _divmod_head_by_p(hi, lo, p):
     """(q_hi, q_lo, r) = divmod(hi*2**32 + lo, p) under the post-renorm
     invariant hi < 2p (so q < 2**33 and q_hi is a single bit).
 
-    The low word is divided bit-serially: the partial remainder always
-    satisfies r < p < 2**31, so acc = 2r + bit < 2**32 stays in uint32.
+    Decomposition: q_hi = (hi >= p); the remaining (r1*2**32 + lo) / p has a
+    quotient < 2**32, split into two 16-bit digits, each computed by
+    `_div_digit` (f32-estimated, exactly corrected — replaces the 32-step
+    bit-serial loop whose unrolled graph dominated compile and step time).
     """
+    ge = (hi >= p).astype(_U32)
+    q_hi = ge
+    r1 = hi - ge * p  # < p
+    # digit 1: (r1 : lo>>16), a 48-bit value < p*2**16
+    d1, rem1 = _div_digit(r1 >> _U32(16), (r1 << _U32(16)) | (lo >> _U32(16)), p)
+    # digit 2: (rem1 : lo&0xffff)
+    d2, r = _div_digit(rem1 >> _U32(16), (rem1 << _U32(16)) | (lo & _U32(0xFFFF)), p)
+    q_lo = (d1 << _U32(16)) | d2
+    return q_hi, q_lo, r
+
+
+def _divmod_head_by_p_bitserial(hi, lo, p):
+    """Bit-serial reference for `_divmod_head_by_p` (kept for cross-check
+    tests): 32 exact shift-subtract steps on the low word; the partial
+    remainder always satisfies r < p < 2**31, so acc = 2r + bit < 2**32."""
     ge = (hi >= p).astype(_U32)
     q_hi = ge
     r = hi - ge * p

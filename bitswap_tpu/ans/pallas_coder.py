@@ -1,0 +1,542 @@
+"""Pallas TPU kernels for the lane-parallel rANS state machine.
+
+The coder's per-symbol recurrence (reference: mnist_compress.py:49-68) is
+inherently sequential along the symbol axis, so the only parallel axis is
+the lane axis (independent streams).  ans/vectorized.py expresses the
+recurrence as a `lax.scan`; on TPU each scan step pays XLA loop overhead and
+a scatter/gather against the (L, capacity) HBM stream buffer.  These kernels
+instead run the whole symbol loop inside one Pallas invocation with the head
+registers held in vector registers / VMEM scratch, and convert the stream
+side-effects into *windowed* dense I/O:
+
+- **encode window**: one renormalization test per symbol pushes at most one
+  word, so an op over `seq` symbols emits a dense (seq, L) word array plus a
+  push mask; the caller compacts and appends to the stream buffer with ONE
+  scatter per op (vectorized.py used one per symbol).
+- **decode window**: at most one word is popped per symbol, so the caller
+  pre-gathers the top `seq` stack words per lane (reversed: window[k] = k-th
+  pop) and the kernel consumes them via a one-hot gather over the window —
+  TPU has no per-lane dynamic gather, but a masked sum over the sublane axis
+  vectorizes perfectly on the VPU.
+
+Layout: lanes ride the 128-wide *lane* axis of the VPU, in R = L/128
+sublane rows, so one vector instruction advances up to 8*128 = 1024 streams.
+All per-position arrays are "lanes-last": (seq, R, 128).  The decode CDF
+table is (seq, S, R, 128) uint32 with S = support (entry S, always 2**31, is
+implicit) — built directly in this layout by tables.build_tables_ll so the
+512MB-class table is never transposed.
+
+Exactness: identical uint32 limb arithmetic to ans/vectorized.py (the f32
+division estimate is corrected exactly); streams are bit-identical between
+the jnp and Pallas paths — tests/test_pallas.py asserts this.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bitswap_tpu.ans.tables import PRECISION_BITS, TOTAL_MASS
+
+_U32 = jnp.uint32
+_MASK31 = np.uint32((1 << PRECISION_BITS) - 1)
+
+# per-buffer VMEM budget for the streamed decode CDF blocks (double-buffered
+# by the pipeline, so actual usage is ~2x this)
+_DECODE_VMEM_BUDGET = 4 * 1024 * 1024
+_ENCODE_CHUNK = 512
+
+
+# ---------------------------------------------------------------------------
+# shared uint32 limb arithmetic (usable both in kernels and in jnp)
+# ---------------------------------------------------------------------------
+
+
+def _mul_u32_u32(a, b):
+    """Exact 32x32 -> 64 bit multiply via 16-bit limbs; returns (hi, lo)."""
+    a0 = a & _U32(0xFFFF)
+    a1 = a >> _U32(16)
+    b0 = b & _U32(0xFFFF)
+    b1 = b >> _U32(16)
+    ll = a0 * b0
+    mid = a0 * b1 + (ll >> _U32(16))
+    mid2 = a1 * b0 + (mid & _U32(0xFFFF))
+    lo = (mid2 << _U32(16)) | (ll & _U32(0xFFFF))
+    hi = a1 * b1 + (mid >> _U32(16)) + (mid2 >> _U32(16))
+    return hi, lo
+
+
+def _div_digit(y_hi, y_lo, p):
+    """One 16-bit quotient digit of divmod(y_hi*2**32 + y_lo, p); quotient
+    must be < 2**16 (guaranteed by the caller's digit decomposition).  f32
+    estimate corrected exactly in uint32 (see vectorized.py for the error
+    analysis)."""
+    F = jnp.float32
+    yf = y_hi.astype(F) * F(4294967296.0) + y_lo.astype(F)
+    d = jnp.floor(yf / p.astype(F)).astype(_U32)
+    m_hi, m_lo = _mul_u32_u32(d, p)
+    borrow = (y_lo < m_lo).astype(_U32)
+    r_lo = y_lo - m_lo
+    r_hi = y_hi - m_hi - borrow
+    for _ in range(2):  # d too high: remainder negative
+        neg = (r_hi >> _U32(31)) & _U32(1)
+        d = d - neg
+        add = r_lo + neg * p
+        carry = (add < r_lo).astype(_U32)
+        r_lo = add
+        r_hi = r_hi + carry
+    for _ in range(2):  # d too low: remainder >= p
+        big = ((r_hi > _U32(0)) | (r_lo >= p)).astype(_U32)
+        d = d + big
+        sub_borrow = (r_lo < big * p).astype(_U32)
+        r_lo = r_lo - big * p
+        r_hi = r_hi - sub_borrow
+    return d, r_lo
+
+
+def _divmod_head_by_p(hi, lo, p):
+    """(q_hi, q_lo, r) = divmod(hi*2**32 + lo, p) under the post-renorm
+    invariant hi < 2p."""
+    ge = (hi >= p).astype(_U32)
+    q_hi = ge
+    r1 = hi - ge * p
+    d1, rem1 = _div_digit(r1 >> _U32(16), (r1 << _U32(16)) | (lo >> _U32(16)), p)
+    d2, r = _div_digit(rem1 >> _U32(16), (rem1 << _U32(16)) | (lo & _U32(0xFFFF)), p)
+    return q_hi, (d1 << _U32(16)) | d2, r
+
+
+def _encode_step(hi, lo, p, c):
+    """One rANS encode transition (push deferred to the caller): returns
+    (new_hi, new_lo, word, pushed) where `word` is only meaningful when
+    `pushed`."""
+    renorm = hi >= (p << _U32(1))
+    word = lo
+    lo = jnp.where(renorm, hi, lo)
+    hi = jnp.where(renorm, _U32(0), hi)
+    q_hi, q_lo, r = _divmod_head_by_p(hi, lo, p)
+    add = r + c
+    new_lo = (q_lo << _U32(31)) + add
+    new_hi = (q_hi << _U32(31)) | (q_lo >> _U32(1))
+    return new_hi, new_lo, word, renorm
+
+
+def _decode_transition(hi, lo, p, c, masked):
+    """The head update x = p*(x >> 31) + (x & mask31) - c; returns
+    (new_hi, new_lo, renorm) where renorm means a word must be popped."""
+    t_hi = hi >> _U32(31)
+    t_lo = (hi << _U32(1)) | (lo >> _U32(31))
+    m_hi, m_lo = _mul_u32_u32(p, t_lo)
+    m_hi = m_hi + t_hi * p
+    delta = masked - c
+    new_lo = m_lo + delta
+    carry_bit = (new_lo < m_lo).astype(_U32)
+    new_hi = m_hi + carry_bit
+    return new_hi, new_lo, new_hi == _U32(0)
+
+
+def _search_row(block, masked):
+    """Symbol lookup over one lanes-last CDF block.
+
+    block: (S, ...) uint32 exclusive-cumulative entries 0..S-1 (entry S =
+    2**31 implicit); masked: (...) the low 31 head bits.  Returns
+    (s int32, c, p) — gather-free: c = max of entries <= masked (cdf is
+    monotone), cdf[s+1] = min of entries > masked (default 2**31)."""
+    le = block <= masked[None]
+    s = jnp.sum(le.astype(jnp.int32), axis=0, dtype=jnp.int32) - 1
+    c = jnp.max(jnp.where(le, block, _U32(0)), axis=0)
+    nxt = jnp.min(jnp.where(le, _U32(TOTAL_MASS), block), axis=0)
+    return s, c, nxt - c
+
+
+# ---------------------------------------------------------------------------
+# pure-jnp window ops (portable reference; used on CPU and in tests)
+# ---------------------------------------------------------------------------
+
+
+def encode_window_jnp(hi, lo, p, c):
+    """hi, lo: (L,) uint32 heads.  p, c: (seq, L) uint32 per-position
+    frequency and cumulative base.  Returns (hi, lo, words (seq, L) uint32,
+    mask (seq, L) bool) — words[t] was pushed before coding position t iff
+    mask[t]."""
+
+    def step(carry, xs):
+        hi, lo = carry
+        pt, ct = xs
+        hi, lo, word, pushed = _encode_step(hi, lo, pt, ct)
+        return (hi, lo), (word, pushed)
+
+    (hi, lo), (words, mask) = jax.lax.scan(step, (hi, lo), (p, c))
+    return hi, lo, words, mask
+
+
+def decode_window_jnp(hi, lo, cdf, window):
+    """hi, lo: (L,) uint32.  cdf: (seq, S, L) uint32 lanes-last tables
+    (entries 0..S-1).  window: (W, L) uint32, window[k] = k-th word popped.
+    Returns (hi, lo, syms (seq, L) int32, npop (L,) int32).
+
+    Positions are processed in reverse (symbols return in natural order),
+    mirroring the reference ANS.decode."""
+    W = window.shape[0]
+
+    def step(carry, cdf_row):
+        hi, lo, cnt = carry
+        masked = lo & _U32(_MASK31)
+        s, c, p = _search_row(cdf_row, masked)
+        new_hi, new_lo, renorm = _decode_transition(hi, lo, p, c, masked)
+        word = jnp.take_along_axis(window, jnp.minimum(cnt, W - 1)[None], axis=0)[0]
+        hi = jnp.where(renorm, new_lo, new_hi)
+        lo = jnp.where(renorm, word, new_lo)
+        cnt = cnt + renorm.astype(jnp.int32)
+        return (hi, lo, cnt), s
+
+    cnt0 = jnp.zeros(hi.shape, jnp.int32)
+    (hi, lo, cnt), syms = jax.lax.scan(step, (hi, lo, cnt0), cdf, reverse=True)
+    return hi, lo, syms, cnt
+
+
+def decode_window_shared_jnp(hi, lo, cdf_shared, window):
+    """decode_window_jnp with one lane-shared table: cdf_shared (seq, S)."""
+    return decode_window_jnp(hi, lo, cdf_shared[..., None], window)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels
+# ---------------------------------------------------------------------------
+
+
+def _encode_kernel(p_ref, c_ref, hi_ref, lo_ref,
+                   hi_out, lo_out, words_ref, mask_ref, regs):
+    from jax.experimental import pallas as pl
+
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _():
+        regs[0] = hi_ref[:]
+        regs[1] = lo_ref[:]
+
+    chunk = p_ref.shape[0]
+
+    def body(t, carry):
+        hi, lo = carry
+        hi, lo, word, pushed = _encode_step(hi, lo, p_ref[t], c_ref[t])
+        words_ref[t] = word
+        mask_ref[t] = pushed.astype(jnp.uint32)
+        return hi, lo
+
+    hi, lo = jax.lax.fori_loop(0, chunk, body, (regs[0], regs[1]))
+    regs[0] = hi
+    regs[1] = lo
+
+    @pl.when(g == pl.num_programs(0) - 1)
+    def _():
+        hi_out[:] = hi
+        lo_out[:] = lo
+
+
+def _decode_kernel(cdf_ref, win_ref, hi_ref, lo_ref,
+                   hi_out, lo_out, cnt_out, syms_ref, regs, cnt_regs):
+    from jax.experimental import pallas as pl
+
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _():
+        regs[0] = hi_ref[:]
+        regs[1] = lo_ref[:]
+        cnt_regs[0] = jnp.zeros_like(cnt_regs[0])
+
+    chunk = cdf_ref.shape[0]
+    W = win_ref.shape[0]
+    kiota = jax.lax.broadcasted_iota(jnp.int32, (W,) + win_ref.shape[1:], 0)
+
+    def body(k, carry):
+        hi, lo, cnt = carry
+        t = chunk - 1 - k  # positions run backwards within the chunk
+        masked = lo & _U32(_MASK31)
+        s, c, p = _search_row(cdf_ref[t], masked)
+        new_hi, new_lo, renorm = _decode_transition(hi, lo, p, c, masked)
+        onehot = kiota == cnt[None]
+        word = jnp.sum(jnp.where(onehot, win_ref[:], _U32(0)), axis=0, dtype=jnp.uint32)
+        hi = jnp.where(renorm, new_lo, new_hi)
+        lo = jnp.where(renorm, word, new_lo)
+        cnt = cnt + renorm.astype(jnp.int32)
+        syms_ref[t] = s
+        return hi, lo, cnt
+
+    hi, lo, cnt = jax.lax.fori_loop(0, chunk, body, (regs[0], regs[1], cnt_regs[0]))
+    regs[0] = hi
+    regs[1] = lo
+    cnt_regs[0] = cnt
+
+    @pl.when(g == pl.num_programs(0) - 1)
+    def _():
+        hi_out[:] = hi
+        lo_out[:] = lo
+        cnt_out[:] = cnt
+
+
+def _decode_kernel_shared(cdf_ref, win_ref, hi_ref, lo_ref,
+                          hi_out, lo_out, cnt_out, syms_ref, regs, cnt_regs):
+    """Decode with a lane-shared CDF table: cdf_ref block is (chunk, S) —
+    the per-position row is broadcast across all lanes (used for the
+    Logistic(0,1) top-prior ops, where materializing (seq, S, L) would waste
+    HBM)."""
+    from jax.experimental import pallas as pl
+
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _():
+        regs[0] = hi_ref[:]
+        regs[1] = lo_ref[:]
+        cnt_regs[0] = jnp.zeros_like(cnt_regs[0])
+
+    chunk = cdf_ref.shape[0]
+    W = win_ref.shape[0]
+    kiota = jax.lax.broadcasted_iota(jnp.int32, (W,) + win_ref.shape[1:], 0)
+
+    def body(k, carry):
+        hi, lo, cnt = carry
+        t = chunk - 1 - k
+        masked = lo & _U32(_MASK31)
+        block = cdf_ref[t][:, None, None]  # (S, 1, 1) broadcast over (R, 128)
+        s, c, p = _search_row(block, masked)
+        new_hi, new_lo, renorm = _decode_transition(hi, lo, p, c, masked)
+        onehot = kiota == cnt[None]
+        word = jnp.sum(jnp.where(onehot, win_ref[:], _U32(0)), axis=0, dtype=jnp.uint32)
+        hi = jnp.where(renorm, new_lo, new_hi)
+        lo = jnp.where(renorm, word, new_lo)
+        cnt = cnt + renorm.astype(jnp.int32)
+        syms_ref[t] = s
+        return hi, lo, cnt
+
+    hi, lo, cnt = jax.lax.fori_loop(0, chunk, body, (regs[0], regs[1], cnt_regs[0]))
+    regs[0] = hi
+    regs[1] = lo
+    cnt_regs[0] = cnt
+
+    @pl.when(g == pl.num_programs(0) - 1)
+    def _():
+        hi_out[:] = hi
+        lo_out[:] = lo
+        cnt_out[:] = cnt
+
+
+def _pad_lanes(x, lanes_axis, pad_to, fill):
+    L = x.shape[lanes_axis]
+    if L == pad_to:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[lanes_axis] = (0, pad_to - L)
+    return jnp.pad(x, widths, constant_values=fill)
+
+
+def _largest_chunk(seq: int, cap: int) -> int:
+    """Largest divisor of `seq` that is <= cap (>=1)."""
+    c = min(cap, seq)
+    while seq % c:
+        c -= 1
+    return c
+
+
+def encode_window_pallas(hi, lo, p, c):
+    """Same contract as encode_window_jnp, TPU Pallas implementation."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    seq, L = p.shape
+    R = -(-L // 128)
+    Lp = R * 128
+    # padding lanes: p = 2**30 (renorm test exact, no wrap), c = 0, head at
+    # the encode invariant floor so the math stays in range; outputs for
+    # padded lanes are discarded.
+    hi_p = _pad_lanes(hi, 0, Lp, np.uint32(1)).reshape(R, 128)
+    lo_p = _pad_lanes(lo, 0, Lp, np.uint32(0)).reshape(R, 128)
+    p_p = _pad_lanes(p, 1, Lp, np.uint32(1 << 30)).reshape(seq, R, 128)
+    c_p = _pad_lanes(c, 1, Lp, np.uint32(0)).reshape(seq, R, 128)
+
+    chunk = _largest_chunk(seq, _ENCODE_CHUNK)
+    grid = seq // chunk
+    lane_spec = pl.BlockSpec((R, 128), lambda g: (0, 0), memory_space=pltpu.VMEM)
+    seq_spec = pl.BlockSpec((chunk, R, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
+
+    hi2, lo2, words, mask = pl.pallas_call(
+        _encode_kernel,
+        grid=(grid,),
+        in_specs=[seq_spec, seq_spec, lane_spec, lane_spec],
+        out_specs=(lane_spec, lane_spec, seq_spec, seq_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((R, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((R, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((seq, R, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((seq, R, 128), jnp.uint32),
+        ),
+        scratch_shapes=[pltpu.VMEM((2, R, 128), jnp.uint32)],
+        interpret=_interpret(),
+    )(p_p, c_p, hi_p, lo_p)
+
+    hi2 = hi2.reshape(Lp)[:L]
+    lo2 = lo2.reshape(Lp)[:L]
+    words = words.reshape(seq, Lp)[:, :L]
+    mask = mask.reshape(seq, Lp)[:, :L] != 0
+    return hi2, lo2, words, mask
+
+
+def decode_window_pallas(hi, lo, cdf, window):
+    """Same contract as decode_window_jnp, TPU Pallas implementation.
+    cdf: (seq, S, L) uint32; window: (W, L) uint32."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    seq, S, L = cdf.shape
+    W = window.shape[0]
+    R = -(-L // 128)
+    Lp = R * 128
+
+    hi_p = _pad_lanes(hi, 0, Lp, np.uint32(1)).reshape(R, 128)
+    lo_p = _pad_lanes(lo, 0, Lp, np.uint32(0)).reshape(R, 128)
+    # padding-lane rows decode garbage symbols but never divide by zero:
+    # the implicit final entry keeps p >= 1 even for an all-zero row.
+    cdf_p = _pad_lanes(cdf, 2, Lp, np.uint32(0)).reshape(seq, S, R, 128)
+    win_p = _pad_lanes(window, 1, Lp, np.uint32(0)).reshape(W, R, 128)
+
+    cap = max(1, _DECODE_VMEM_BUDGET // (S * R * 128 * 4))
+    chunk = _largest_chunk(seq, cap)
+    grid = seq // chunk
+    # chunks are consumed from the END of the sequence backwards
+    rev = lambda g: (grid - 1 - g, 0, 0, 0)  # noqa: E731
+    lane_spec = pl.BlockSpec((R, 128), lambda g: (0, 0), memory_space=pltpu.VMEM)
+    cdf_spec = pl.BlockSpec((chunk, S, R, 128), rev, memory_space=pltpu.VMEM)
+    win_spec = pl.BlockSpec((W, R, 128), lambda g: (0, 0, 0), memory_space=pltpu.VMEM)
+    sym_spec = pl.BlockSpec((chunk, R, 128), lambda g: (grid - 1 - g, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    hi2, lo2, cnt, syms = pl.pallas_call(
+        _decode_kernel,
+        grid=(grid,),
+        in_specs=[cdf_spec, win_spec, lane_spec, lane_spec],
+        out_specs=(lane_spec, lane_spec,
+                   pl.BlockSpec((R, 128), lambda g: (0, 0), memory_space=pltpu.VMEM),
+                   sym_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((R, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((R, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((R, 128), jnp.int32),
+            jax.ShapeDtypeStruct((seq, R, 128), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, R, 128), jnp.uint32),
+            pltpu.VMEM((1, R, 128), jnp.int32),
+        ],
+        interpret=_interpret(),
+    )(cdf_p, win_p, hi_p, lo_p)
+
+    hi2 = hi2.reshape(Lp)[:L]
+    lo2 = lo2.reshape(Lp)[:L]
+    cnt = cnt.reshape(Lp)[:L]
+    syms = syms.reshape(seq, Lp)[:, :L]
+    return hi2, lo2, syms, cnt
+
+
+def decode_window_shared_pallas(hi, lo, cdf_shared, window):
+    """Shared-table decode: cdf_shared (seq, S) uint32 broadcast across all
+    lanes inside the kernel (no (seq, S, L) materialization)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    seq, S = cdf_shared.shape
+    L = hi.shape[0]
+    W = window.shape[0]
+    R = -(-L // 128)
+    Lp = R * 128
+
+    hi_p = _pad_lanes(hi, 0, Lp, np.uint32(1)).reshape(R, 128)
+    lo_p = _pad_lanes(lo, 0, Lp, np.uint32(0)).reshape(R, 128)
+    win_p = _pad_lanes(window, 1, Lp, np.uint32(0)).reshape(W, R, 128)
+
+    chunk = _largest_chunk(seq, 512)
+    grid = seq // chunk
+    lane_spec = pl.BlockSpec((R, 128), lambda g: (0, 0), memory_space=pltpu.VMEM)
+    cdf_spec = pl.BlockSpec((chunk, S), lambda g: (grid - 1 - g, 0),
+                            memory_space=pltpu.VMEM)
+    win_spec = pl.BlockSpec((W, R, 128), lambda g: (0, 0, 0), memory_space=pltpu.VMEM)
+    sym_spec = pl.BlockSpec((chunk, R, 128), lambda g: (grid - 1 - g, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    hi2, lo2, cnt, syms = pl.pallas_call(
+        _decode_kernel_shared,
+        grid=(grid,),
+        in_specs=[cdf_spec, win_spec, lane_spec, lane_spec],
+        out_specs=(lane_spec, lane_spec,
+                   pl.BlockSpec((R, 128), lambda g: (0, 0), memory_space=pltpu.VMEM),
+                   sym_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((R, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((R, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((R, 128), jnp.int32),
+            jax.ShapeDtypeStruct((seq, R, 128), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, R, 128), jnp.uint32),
+            pltpu.VMEM((1, R, 128), jnp.int32),
+        ],
+        interpret=_interpret(),
+    )(cdf_shared, win_p, hi_p, lo_p)
+
+    hi2 = hi2.reshape(Lp)[:L]
+    lo2 = lo2.reshape(Lp)[:L]
+    cnt = cnt.reshape(Lp)[:L]
+    syms = syms.reshape(seq, Lp)[:, :L]
+    return hi2, lo2, syms, cnt
+
+
+# ---------------------------------------------------------------------------
+# backend dispatch
+# ---------------------------------------------------------------------------
+
+
+@functools.cache
+def _interpret() -> bool:
+    """Interpreter mode when not on a real TPU backend (CPU tests)."""
+    try:
+        return jax.devices()[0].platform not in ("tpu", "axon")
+    except RuntimeError:
+        return True
+
+
+@functools.cache
+def use_pallas() -> bool:
+    """Pallas kernels on TPU-class backends, jnp elsewhere.  Override with
+    BITSWAP_TPU_CODER=pallas|jnp."""
+    import os
+
+    mode = os.environ.get("BITSWAP_TPU_CODER", "auto")
+    if mode == "pallas":
+        return True
+    if mode == "jnp":
+        return False
+    try:
+        platform = jax.devices()[0].platform
+    except RuntimeError:
+        return False
+    return platform in ("tpu", "axon")
+
+
+def encode_window(hi, lo, p, c):
+    impl = encode_window_pallas if use_pallas() else encode_window_jnp
+    return impl(hi, lo, p, c)
+
+
+def decode_window(hi, lo, cdf, window):
+    impl = decode_window_pallas if use_pallas() else decode_window_jnp
+    return impl(hi, lo, cdf, window)
+
+
+def decode_window_shared(hi, lo, cdf_shared, window):
+    impl = decode_window_shared_pallas if use_pallas() else decode_window_shared_jnp
+    return impl(hi, lo, cdf_shared, window)

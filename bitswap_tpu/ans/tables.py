@@ -79,6 +79,41 @@ def quantize_pmfs(pmf_float, quantbits: int) -> AnsTables:
     return AnsTables(pmf=pmf, cdf=cdf)
 
 
+def build_tables_ll(endpoint_cdfs, quantbits: int):
+    """Lanes-last table build for the Pallas coder (ans/pallas_coder.py).
+
+    endpoint_cdfs: (seq, support - 1, L) float CDF evaluations at interior
+    bin endpoints, with the lane axis LAST (the layout the TPU kernels
+    stream, so the large table is built in place and never transposed).
+    Returns the exclusive cumulative table (seq, support, L) uint32 WITHOUT
+    the final row — entry `support` is always 2**31 and is implicit.
+
+    Quantization semantics are identical to `quantize_pmfs` (reference
+    ANS.__init__, mnist_compress.py:29-47), applied along axis -2.
+    """
+    left = endpoint_cdfs[..., :1, :]
+    right = 1.0 - endpoint_cdfs[..., -1:, :]
+    mid = endpoint_cdfs[..., 1:, :] - endpoint_cdfs[..., :-1, :]
+    pmf_float = jnp.concatenate([left, mid, right], axis=-2)
+
+    multiplier = float((1 << PRECISION_BITS) - (1 << quantbits))
+    pmf_float = jnp.maximum(pmf_float, 0.0)
+    pmf = jnp.trunc(pmf_float * multiplier).astype(jnp.uint32) + jnp.uint32(1)
+    remainder = (
+        jnp.uint32(TOTAL_MASS) - jnp.sum(pmf, axis=-2, keepdims=True)
+    ).astype(jnp.uint32)
+    amax = jnp.argmax(pmf, axis=-2, keepdims=True)
+    support = pmf.shape[-2]
+    onehot = (
+        jnp.arange(support, dtype=jnp.int32)[:, None] == amax.astype(jnp.int32)
+    ).astype(jnp.uint32)
+    pmf = pmf + onehot * remainder
+    # exclusive cumsum, final (always-2**31) row dropped
+    cum = jnp.cumsum(pmf, axis=-2, dtype=jnp.uint32)
+    zero = jnp.zeros(pmf.shape[:-2] + (1,) + pmf.shape[-1:], dtype=jnp.uint32)
+    return jnp.concatenate([zero, cum[..., :-1, :]], axis=-2)
+
+
 def build_tables_from_cdf(endpoint_cdfs, quantbits: int) -> AnsTables:
     """Build tables from CDF values at the support's interior bin endpoints.
 

@@ -130,205 +130,126 @@ def lane_state_from_ref_lists(states, capacity: int) -> LaneState:
 
 
 # ---------------------------------------------------------------------------
-# uint32 limb arithmetic helpers
+# windowed lane ops
+#
+# Every coder op over a `seq`-symbol vector touches the stream buffer at most
+# `seq` times, and pushes/pops within one op are contiguous on each lane's
+# stack.  The ops below therefore split into (1) a dense *window* state
+# machine over (seq, L) arrays — Pallas TPU kernel or lax.scan, see
+# ans/pallas_coder.py — and (2) ONE vectorized buffer append/gather per op,
+# instead of the per-symbol scatter/gather of a naive translation.
 # ---------------------------------------------------------------------------
 
+from bitswap_tpu.ans import pallas_coder as _pc
 
-def _div_digit(y_hi, y_lo, p):
-    """One 16-bit quotient digit: (d, r_hi, r_lo) = divmod(y_hi*2**32+y_lo, p)
-    where the caller guarantees quotient < 2**16 (i.e. y < p*2**16, so
-    y_hi < 2**15 since p < 2**31).
 
-    The digit is estimated with an f32 reciprocal and corrected exactly in
-    uint32.  Error analysis: y_hi < 2**15 converts to f32 exactly and the
-    2**32 scale is a power of two, so |yf - y| <= 2**-23*y; the reciprocal
-    and product each add <= 2**-24 relative error; with d < 2**16 the
-    absolute quotient error is < 0.03, so after floor the estimate is within
-    +/-1 of the true digit.  Two branch-free correction rounds per side keep
-    a safety margin.
+def _append_words(state: LaneState, words, mask) -> LaneState:
+    """Append the masked window words to each lane's stack (one scatter).
+
+    words, mask: (seq, L) — word/push-flag per symbol position in push order.
     """
-    F = jnp.float32
-    yf = y_hi.astype(F) * F(4294967296.0) + y_lo.astype(F)
-    d = jnp.floor(yf / p.astype(F)).astype(_U32)
-    m_hi, m_lo = _mul_u32_u32(d, p)
-    borrow = (y_lo < m_lo).astype(_U32)
-    r_lo = y_lo - m_lo
-    r_hi = y_hi - m_hi - borrow  # two's-complement pair; negative iff d high
-    for _ in range(2):  # d too high: rem negative (top bit of r_hi set)
-        neg = (r_hi >> _U32(31)) & _U32(1)
-        d = d - neg
-        add = r_lo + neg * p
-        carry = (add < r_lo).astype(_U32)
-        r_lo = add
-        r_hi = r_hi + carry  # (r_hi, r_lo) += (0, p): carry propagates the wrap
-    for _ in range(2):  # d too low: rem >= p
-        big = ((r_hi > _U32(0)) | (r_lo >= p)).astype(_U32)
-        d = d + big
-        sub_borrow = (r_lo < big * p).astype(_U32)
-        r_lo = r_lo - big * p
-        r_hi = r_hi - sub_borrow
-    return d, r_lo
+    num_lanes, capacity = state.buf.shape
+    m = mask.astype(jnp.int32)
+    # target stack slot for each pushed word; capacity (out of range, mode
+    # 'drop') for unpushed positions
+    pos = jnp.cumsum(m, axis=0) - 1 + state.sp[None, :]
+    pos = jnp.where(mask, pos, capacity)
+    pos = jnp.where(pos >= capacity, capacity, pos)  # overflow -> dropped
+    lanes = jnp.arange(num_lanes)[None, :]
+    buf = state.buf.at[lanes, pos].set(words, mode="drop")
+    npush = jnp.sum(m, axis=0, dtype=jnp.int32)
+    overflow = state.overflow | (state.sp + npush > capacity)
+    return state._replace(buf=buf, sp=state.sp + npush, overflow=overflow)
 
 
-def _divmod_head_by_p(hi, lo, p):
-    """(q_hi, q_lo, r) = divmod(hi*2**32 + lo, p) under the post-renorm
-    invariant hi < 2p (so q < 2**33 and q_hi is a single bit).
+def _pop_window(state: LaneState, width: int):
+    """(window (width, L) uint32) with window[k, l] = k-th word lane l would
+    pop — one gather; reads below the stack bottom are clamped (flagged as
+    underflow later via the pop count)."""
+    offs = jnp.arange(width, dtype=jnp.int32)
+    idx = state.sp[None, :] - 1 - offs[:, None]
+    idx = jnp.maximum(idx, 0)
+    return jnp.take_along_axis(state.buf, jnp.swapaxes(idx, 0, 1), axis=1).T
 
-    Decomposition: q_hi = (hi >= p); the remaining (r1*2**32 + lo) / p has a
-    quotient < 2**32, split into two 16-bit digits, each computed by
-    `_div_digit` (f32-estimated, exactly corrected — replaces the 32-step
-    bit-serial loop whose unrolled graph dominated compile and step time).
+
+def _encode_gather_pc(cdf_ll, symbols_ll):
+    """Per-position (p, c) from a lanes-last table (seq, S, L) for symbols
+    (seq, L); the implicit final entry cdf[S] = 2**31 supplies c_hi for the
+    top symbol."""
+    S = cdf_ll.shape[1]
+    sym = symbols_ll.astype(jnp.int32)[:, None, :]
+    c_lo = jnp.take_along_axis(cdf_ll, sym, axis=1)[:, 0]
+    hi_idx = jnp.minimum(sym + 1, S - 1)
+    c_hi_in = jnp.take_along_axis(cdf_ll, hi_idx, axis=1)[:, 0]
+    c_hi = jnp.where(symbols_ll == S - 1, jnp.uint32(1 << PRECISION_BITS), c_hi_in)
+    return c_hi - c_lo, c_lo
+
+
+def ans_encode_lanes_ll(state: LaneState, cdf_ll, symbols) -> LaneState:
+    """Encode one symbol vector per lane from a lanes-last table.
+
+    cdf_ll:  (seq, S, L) uint32 exclusive cumulative table, entries 0..S-1
+             (entry S == 2**31 implicit) — ans/tables.build_tables_ll
+    symbols: (L, seq) int32 in [0, S)
     """
-    ge = (hi >= p).astype(_U32)
-    q_hi = ge
-    r1 = hi - ge * p  # < p
-    # digit 1: (r1 : lo>>16), a 48-bit value < p*2**16
-    d1, rem1 = _div_digit(r1 >> _U32(16), (r1 << _U32(16)) | (lo >> _U32(16)), p)
-    # digit 2: (rem1 : lo&0xffff)
-    d2, r = _div_digit(rem1 >> _U32(16), (rem1 << _U32(16)) | (lo & _U32(0xFFFF)), p)
-    q_lo = (d1 << _U32(16)) | d2
-    return q_hi, q_lo, r
+    symbols_ll = jnp.swapaxes(symbols, 0, 1)
+    p, c = _encode_gather_pc(cdf_ll, symbols_ll)
+    hi, lo, words, mask = _pc.encode_window(state.hi, state.lo, p, c)
+    return _append_words(state._replace(hi=hi, lo=lo), words, mask)
 
 
-def _divmod_head_by_p_bitserial(hi, lo, p):
-    """Bit-serial reference for `_divmod_head_by_p` (kept for cross-check
-    tests): 32 exact shift-subtract steps on the low word; the partial
-    remainder always satisfies r < p < 2**31, so acc = 2r + bit < 2**32."""
-    ge = (hi >= p).astype(_U32)
-    q_hi = ge
-    r = hi - ge * p
-    q_lo = jnp.zeros_like(lo)
-    for k in range(31, -1, -1):
-        bit = (lo >> _U32(k)) & _U32(1)
-        acc = (r << _U32(1)) | bit
-        take = (acc >= p).astype(_U32)
-        r = acc - take * p
-        q_lo = (q_lo << _U32(1)) | take
-    return q_hi, q_lo, r
+def ans_encode_lanes_shared(state: LaneState, cdf_shared, symbols) -> LaneState:
+    """Encode against ONE table row set shared by all lanes (the top-layer
+    prior).  cdf_shared: (seq, S) uint32; symbols: (L, seq)."""
+    seq, S = cdf_shared.shape
+    sym = symbols.astype(jnp.int32)
+    c_lo = cdf_shared[jnp.arange(seq)[None, :], sym]
+    hi_idx = jnp.minimum(sym + 1, S - 1)
+    c_hi_in = cdf_shared[jnp.arange(seq)[None, :], hi_idx]
+    c_hi = jnp.where(sym == S - 1, jnp.uint32(1 << PRECISION_BITS), c_hi_in)
+    p = jnp.swapaxes(c_hi - c_lo, 0, 1)
+    c = jnp.swapaxes(c_lo, 0, 1)
+    hi, lo, words, mask = _pc.encode_window(state.hi, state.lo, p, c)
+    return _append_words(state._replace(hi=hi, lo=lo), words, mask)
 
 
-def _mul_u32_u32(a, b):
-    """Exact 32x32 -> 64 bit multiply via 16-bit limbs; returns (hi, lo)."""
-    a0 = a & _U32(0xFFFF)
-    a1 = a >> _U32(16)
-    b0 = b & _U32(0xFFFF)
-    b1 = b >> _U32(16)
-    ll = a0 * b0
-    mid = a0 * b1 + (ll >> _U32(16))  # <= (2**16-1)**2 + 2**16 - 1 < 2**32
-    mid2 = a1 * b0 + (mid & _U32(0xFFFF))
-    lo = (mid2 << _U32(16)) | (ll & _U32(0xFFFF))
-    hi = a1 * b1 + (mid >> _U32(16)) + (mid2 >> _U32(16))
-    return hi, lo
+def ans_decode_lanes_ll(state: LaneState, cdf_ll) -> Tuple[LaneState, jnp.ndarray]:
+    """Decode one symbol per position per lane from a lanes-last table
+    (seq, S, L).  Returns (state, symbols (L, seq) int32)."""
+    seq = cdf_ll.shape[0]
+    window = _pop_window(state, seq)
+    hi, lo, syms, npop = _pc.decode_window(state.hi, state.lo, cdf_ll, window)
+    underflow = state.underflow | (npop > state.sp)
+    state = state._replace(hi=hi, lo=lo, sp=state.sp - npop, underflow=underflow)
+    return state, jnp.swapaxes(syms, 0, 1)
 
 
-def _push(buf, sp, word, mask):
-    """Conditionally push `word` per lane; returns (buf, sp, overflowed)."""
-    lanes = jnp.arange(buf.shape[0])
-    cap = buf.shape[1]
-    idx = jnp.minimum(sp, cap - 1)
-    cur = buf[lanes, idx]
-    buf = buf.at[lanes, idx].set(jnp.where(mask, word, cur))
-    overflowed = mask & (sp >= cap)
-    sp = sp + mask.astype(jnp.int32)
-    return buf, sp, overflowed
+def ans_decode_lanes_shared(state: LaneState, cdf_shared) -> Tuple[LaneState, jnp.ndarray]:
+    """Decode against one lane-shared table (seq, S) uint32 (top prior)."""
+    seq = cdf_shared.shape[0]
+    window = _pop_window(state, seq)
+    hi, lo, syms, npop = _pc.decode_window_shared(state.hi, state.lo, cdf_shared, window)
+    underflow = state.underflow | (npop > state.sp)
+    state = state._replace(hi=hi, lo=lo, sp=state.sp - npop, underflow=underflow)
+    return state, jnp.swapaxes(syms, 0, 1)
 
 
-def _pop(buf, sp, mask):
-    """Conditionally pop per lane; returns (word, sp, underflowed)."""
-    lanes = jnp.arange(buf.shape[0])
-    idx = jnp.maximum(sp - 1, 0)
-    word = buf[lanes, idx]
-    underflowed = mask & (sp <= 0)
-    sp = sp - mask.astype(jnp.int32)
-    return word, sp, underflowed
+# -- reference-layout wrappers (tests, golden parity) -------------------------
 
 
-# ---------------------------------------------------------------------------
-# encode / decode
-# ---------------------------------------------------------------------------
+def _ll_from_ref_cdf(cdf):
+    """(L, seq, S+1) reference-layout table -> lanes-last (seq, S, L)."""
+    return jnp.transpose(cdf[..., :-1], (1, 2, 0))
 
 
 def ans_encode_lanes(state: LaneState, cdf, symbols) -> LaneState:
-    """Encode one symbol vector per lane (forward order over seq positions).
-
-    cdf:     (L, seq, support+1) uint32 exclusive cumulative tables
-    symbols: (L, seq) int32 in [0, support)
-
-    Equivalent to the reference ANS.encode (mnist_compress.py:49-56) run on
-    each lane's stream.
-    """
-    num_lanes, seq_len, _ = cdf.shape
-    lanes = jnp.arange(num_lanes)
-    # Pre-gather the (p, c) pair per (lane, position): the scan then carries
-    # no table state at all.
-    sym = symbols.astype(jnp.int32)
-    c_lo = jnp.take_along_axis(cdf, sym[..., None], axis=-1)[..., 0]
-    c_hi = jnp.take_along_axis(cdf, sym[..., None] + 1, axis=-1)[..., 0]
-    p_seq = c_hi - c_lo  # (L, seq) uint32 frequencies
-
-    def step(carry, xs):
-        buf, sp, hi, lo, ovf, unf = carry
-        p, c = xs
-        # renormalize: x >= p << 33  ⟺  hi >= 2p
-        renorm = hi >= (p << _U32(1))
-        buf, sp, o = _push(buf, sp, lo, renorm)
-        ovf = ovf | o
-        lo = jnp.where(renorm, hi, lo)
-        hi = jnp.where(renorm, _U32(0), hi)
-        # x = (x // p) << 31 | (x % p + c)
-        q_hi, q_lo, r = _divmod_head_by_p(hi, lo, p)
-        add = r + c  # < 2**31: r < p and c <= 2**31 - p
-        new_lo = (q_lo << _U32(31)) + add  # (q_lo & 1) << 31 plus add < 2**31
-        new_hi = (q_hi << _U32(31)) | (q_lo >> _U32(1))
-        return (buf, sp, new_hi, new_lo, ovf, unf), None
-
-    xs = (jnp.swapaxes(p_seq, 0, 1), jnp.swapaxes(c_lo, 0, 1))
-    carry = (state.buf, state.sp, state.hi, state.lo, state.overflow, state.underflow)
-    carry, _ = jax.lax.scan(step, carry, xs)
-    return LaneState(*carry)
+    """Reference-layout encode: cdf (L, seq, S+1) uint32, symbols (L, seq).
+    Equivalent to the reference ANS.encode (mnist_compress.py:49-56) per
+    lane."""
+    return ans_encode_lanes_ll(state, _ll_from_ref_cdf(cdf), symbols)
 
 
 def ans_decode_lanes(state: LaneState, cdf) -> Tuple[LaneState, jnp.ndarray]:
-    """Decode one symbol vector per lane (reverse position order internally,
-    symbols returned in natural order), mirroring ANS.decode
-    (mnist_compress.py:58-68).
-
-    cdf: (L, seq, support+1) uint32
-    returns: (state, symbols (L, seq) int32)
-    """
-    num_lanes, seq_len, supportp1 = cdf.shape
-    support = supportp1 - 1
-
-    def step(carry, cdf_row):
-        buf, sp, hi, lo, ovf, unf = carry
-        masked = lo & _U32(_MASK31)
-        # searchsorted-right over the first `support` cdf entries, minus one
-        s = (
-            jnp.sum((cdf_row[:, :support] <= masked[:, None]).astype(jnp.int32), axis=-1)
-            - 1
-        )
-        lanes = jnp.arange(num_lanes)
-        c = cdf_row[lanes, s]
-        p = cdf_row[lanes, s + 1] - c
-        # x = p * (x >> 31) + masked - c
-        t_hi = hi >> _U32(31)  # 0 or 1
-        t_lo = (hi << _U32(1)) | (lo >> _U32(31))
-        m_hi, m_lo = _mul_u32_u32(p, t_lo)
-        m_hi = m_hi + t_hi * p
-        delta = masked - c
-        new_lo = m_lo + delta
-        carry_bit = (new_lo < m_lo).astype(_U32)
-        new_hi = m_hi + carry_bit
-        # renormalize: x < 2**32  ⟺  hi == 0
-        renorm = new_hi == _U32(0)
-        word, sp, u = _pop(buf, sp, renorm)
-        unf = unf | u
-        hi2 = jnp.where(renorm, new_lo, new_hi)
-        lo2 = jnp.where(renorm, word, new_lo)
-        return (buf, sp, hi2, lo2, ovf, unf), s
-
-    carry = (state.buf, state.sp, state.hi, state.lo, state.overflow, state.underflow)
-    carry, syms_rev = jax.lax.scan(step, carry, jnp.swapaxes(cdf, 0, 1), reverse=True)
-    # scan(reverse=True) stacks outputs in natural position order already
-    symbols = jnp.swapaxes(syms_rev, 0, 1).astype(jnp.int32)
-    return LaneState(*carry), symbols
+    """Reference-layout decode, mirroring ANS.decode
+    (mnist_compress.py:58-68)."""
+    return ans_decode_lanes_ll(state, _ll_from_ref_cdf(cdf))

@@ -32,11 +32,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from bitswap_tpu.ans.tables import build_tables_from_cdf
+from bitswap_tpu.ans.tables import build_tables_ll
 from bitswap_tpu.ans.vectorized import (
     LaneState,
-    ans_decode_lanes,
-    ans_encode_lanes,
+    ans_decode_lanes_ll,
+    ans_decode_lanes_shared,
+    ans_encode_lanes_ll,
+    ans_encode_lanes_shared,
     init_lane_state,
 )
 from bitswap_tpu.codec.discretize import DiscretizationBins
@@ -84,11 +86,13 @@ class Codec:
         self.xendpoints = xe  # (255,)
         self.xcentres = xc  # (256,)
 
-        # static prior tables (top layer, Logistic(0,1)): shared by all lanes
+        # static prior table (top layer, Logistic(0,1)): ONE (zdim, S) uint32
+        # row set shared by all lanes — the coder broadcasts it in-kernel
+        # instead of materializing per-lane copies
         prior_cdfs = logistic_cdf(
             self.zendpoints[cfg.nz - 1], jnp.asarray(0.0, dt), jnp.asarray(1.0, dt)
         )  # (zdim, S-1)
-        self.prior_cdf_table = build_tables_from_cdf(prior_cdfs, ccfg.quantbits).cdf
+        self.prior_cdf_table = build_tables_ll(prior_cdfs[..., None], ccfg.quantbits)[..., 0]
 
         self._encode_jit = jax.jit(self._encode_seq)
         self._encode_counts_jit = jax.jit(self._encode_seq_counts)
@@ -99,22 +103,24 @@ class Codec:
     # -- table builders ----------------------------------------------------
 
     def _z_tables(self, zi: int, mu, scale):
-        """(L, zdim, S+1) uint32 cdf tables for latent layer zi given the
-        per-lane conditional Logistic params (each (L, zdim))."""
+        """Lanes-last (zdim, S, L) uint32 cdf tables for latent layer zi
+        given the per-lane conditional Logistic params (each (L, zdim)) —
+        built directly in the Pallas coder's streaming layout so the large
+        table is never transposed."""
         dt = self.zendpoints.dtype
-        mu = mu.astype(dt)[:, :, None]
-        scale = scale.astype(dt)[:, :, None]
-        cdfs = logistic_cdf(self.zendpoints[zi][None], mu, scale)
-        return build_tables_from_cdf(cdfs, self.ccfg.quantbits).cdf
+        mu_ll = jnp.swapaxes(mu.astype(dt), 0, 1)[:, None, :]
+        scale_ll = jnp.swapaxes(scale.astype(dt), 0, 1)[:, None, :]
+        cdfs = logistic_cdf(self.zendpoints[zi][:, :, None], mu_ll, scale_ll)
+        return build_tables_ll(cdfs, self.ccfg.quantbits)
 
     def _x_tables(self, mu, scale):
-        """(L, xdim, 257) uint32 cdf tables for the pixel layer (quantbits=8,
-        mnist_compress.py:203)."""
+        """Lanes-last (xdim, 256, L) uint32 cdf tables for the pixel layer
+        (quantbits=8, mnist_compress.py:203)."""
         dt = self.xendpoints.dtype
-        mu = mu.astype(dt)[:, :, None]
-        scale = scale.astype(dt)[:, :, None]
-        cdfs = logistic_cdf(self.xendpoints[None, None, :], mu, scale)
-        return build_tables_from_cdf(cdfs, 8).cdf
+        mu_ll = jnp.swapaxes(mu.astype(dt), 0, 1)[:, None, :]
+        scale_ll = jnp.swapaxes(scale.astype(dt), 0, 1)[:, None, :]
+        cdfs = logistic_cdf(self.xendpoints[None, :, None], mu_ll, scale_ll)
+        return build_tables_ll(cdfs, 8)
 
     # -- model bridging ----------------------------------------------------
 
@@ -158,7 +164,7 @@ class Codec:
             given = self.xcentres[x] if zi == 0 else self._zcentre_lookup(zi - 1, zsym)
             mu, scale = self._infer(zi, given)
             cdf = self._z_tables(zi, mu, scale)
-            st, sym = ans_decode_lanes(state_ref[0], cdf)
+            st, sym = ans_decode_lanes_ll(state_ref[0], cdf)
             if min_sp_ref[0] is not None:
                 min_sp_ref[0] = jnp.minimum(min_sp_ref[0], st.sp)
             return st, sym
@@ -168,9 +174,9 @@ class Codec:
             mu, scale = self._generate(zi, zc)
             if zi == 0:
                 cdf = self._x_tables(mu, scale)
-                return ans_encode_lanes(state_ref[0], cdf, x)
+                return ans_encode_lanes_ll(state_ref[0], cdf, x)
             cdf = self._z_tables(zi - 1, mu, scale)
-            return ans_encode_lanes(state_ref[0], cdf, zsym)
+            return ans_encode_lanes_ll(state_ref[0], cdf, zsym)
 
         state_ref = [state]
         min_sp_ref = [min_sp]
@@ -194,11 +200,10 @@ class Codec:
                 prev = x if zi == 0 else zs[zi - 1]
                 state_ref[0] = generate_encode(zi, zsymtop, None if zi == 0 else prev)
 
-        # encode the top sample under the prior
-        prior = jnp.broadcast_to(
-            self.prior_cdf_table[None], (num_lanes,) + self.prior_cdf_table.shape
+        # encode the top sample under the (lane-shared) prior
+        out = ans_encode_lanes_shared(
+            state_ref[0], self.prior_cdf_table, zsym if self.ccfg.bitswap else zs[-1]
         )
-        out = ans_encode_lanes(state_ref[0], prior, zsym if self.ccfg.bitswap else zs[-1])
         if min_sp is not None:
             return out, min_sp_ref[0]
         return out
@@ -207,23 +212,20 @@ class Codec:
         """Receiver for one datapoint (mnist_compress.py:284-354).  Returns
         (state, x (L, xdim) int32)."""
         nz = self.ccfg.model.nz
-        prior = jnp.broadcast_to(
-            self.prior_cdf_table[None], (num_lanes,) + self.prior_cdf_table.shape
-        )
-        state, zsymtop = ans_decode_lanes(state, prior)
+        state, zsymtop = ans_decode_lanes_shared(state, self.prior_cdf_table)
 
         if self.ccfg.bitswap:
             for zi in reversed(range(nz)):
                 zc = self._zcentre_lookup(zi, zsymtop)
                 mu, scale = self._generate(zi, zc)
                 if zi == 0:
-                    state, sym = ans_decode_lanes(state, self._x_tables(mu, scale))
+                    state, sym = ans_decode_lanes_ll(state, self._x_tables(mu, scale))
                     given = self.xcentres[sym]
                 else:
-                    state, sym = ans_decode_lanes(state, self._z_tables(zi - 1, mu, scale))
+                    state, sym = ans_decode_lanes_ll(state, self._z_tables(zi - 1, mu, scale))
                     given = self._zcentre_lookup(zi - 1, sym)
                 mu, scale = self._infer(zi, given)
-                state = ans_encode_lanes(state, self._z_tables(zi, mu, scale), zsymtop)
+                state = ans_encode_lanes_ll(state, self._z_tables(zi, mu, scale), zsymtop)
                 zsymtop = sym
             return state, zsymtop
         else:
@@ -232,9 +234,9 @@ class Codec:
                 zc = self._zcentre_lookup(zi, zsymtop)
                 mu, scale = self._generate(zi, zc)
                 if zi == 0:
-                    state, sym = ans_decode_lanes(state, self._x_tables(mu, scale))
+                    state, sym = ans_decode_lanes_ll(state, self._x_tables(mu, scale))
                 else:
-                    state, sym = ans_decode_lanes(state, self._z_tables(zi - 1, mu, scale))
+                    state, sym = ans_decode_lanes_ll(state, self._z_tables(zi - 1, mu, scale))
                 zs.append(sym)
                 zsymtop = sym
             x = zs[-1]
@@ -245,7 +247,7 @@ class Codec:
                 sym = zs[nz - zi]  # z_zi (or x when zi == 0... see below)
                 given = self.xcentres[x] if zi == 0 else self._zcentre_lookup(zi - 1, sym)
                 mu, scale = self._infer(zi, given)
-                state = ans_encode_lanes(state, self._z_tables(zi, mu, scale), zsymtop)
+                state = ans_encode_lanes_ll(state, self._z_tables(zi, mu, scale), zsymtop)
                 zsymtop = sym
             return state, x
 
@@ -295,12 +297,12 @@ class Codec:
         nz = self.ccfg.model.nz
         given = self.xcentres[x]
         mu, scale = self._infer(0, given)
-        st, zsymtop = ans_decode_lanes(state, self._z_tables(0, mu, scale))
+        st, zsymtop = ans_decode_lanes_ll(state, self._z_tables(0, mu, scale))
         if not self.ccfg.bitswap:
             for zi in range(1, nz):
                 given = self._zcentre_lookup(zi - 1, zsymtop)
                 mu, scale = self._infer(zi, given)
-                st, zsymtop = ans_decode_lanes(st, self._z_tables(zi, mu, scale))
+                st, zsymtop = ans_decode_lanes_ll(st, self._z_tables(zi, mu, scale))
         return st.sp
 
     def _decode_seq(self, state: LaneState, num_datapoints: int):

@@ -45,10 +45,54 @@ from bitswap_tpu.ans.tables import PRECISION_BITS, TOTAL_MASS
 _U32 = jnp.uint32
 _MASK31 = np.uint32((1 << PRECISION_BITS) - 1)
 
-# per-buffer VMEM budget for the streamed decode CDF blocks (double-buffered
-# by the pipeline, so actual usage is ~2x this)
+# VMEM budget for one copy of a decode grid step's blocks (cdf chunk + word
+# window + syms out).  Mosaic double-buffers pipelined blocks and enforces a
+# 16MB *scoped* vmem stack limit, so the effective footprint is ~2x this plus
+# scratch — 4MB keeps the observed usage comfortably under the limit.
 _DECODE_VMEM_BUDGET = 4 * 1024 * 1024
 _ENCODE_CHUNK = 512
+
+
+def _decode_chunk_cap(S: int, R: int, window_words: int) -> int:
+    """Largest cdf-chunk length whose grid-step blocks fit the budget: the
+    always-resident window block is charged first, then each chunk unit costs
+    one (S, R, 128) cdf row plus one (R, 128) syms row."""
+    row = R * 128 * 4
+    avail = _DECODE_VMEM_BUDGET - window_words * row
+    return max(1, avail // ((S + 1) * row))
+
+
+# ---------------------------------------------------------------------------
+# Mosaic-safe dtype bridges
+#
+# The TPU Pallas lowering (Mosaic) supports neither unsigned<->float casts
+# nor bool->unsigned casts; everything routes through int32.  All helpers
+# are value-exact for the ranges the coder uses and are no-ops semantically
+# on the CPU/jnp path.
+# ---------------------------------------------------------------------------
+
+
+def _b2u(b):
+    """bool -> uint32 (0/1)."""
+    return jax.lax.bitcast_convert_type(b.astype(jnp.int32), _U32)
+
+
+def _u2f_small(x):
+    """uint32 < 2**31 -> float32 (same rounding as a direct u32 cast)."""
+    return jax.lax.bitcast_convert_type(x, jnp.int32).astype(jnp.float32)
+
+
+def _u2f_full(x):
+    """Full-range uint32 -> float32 via exact 16-bit halves (one rounding in
+    the final add; see _div_digit's error budget)."""
+    hi = jax.lax.bitcast_convert_type(x >> _U32(16), jnp.int32).astype(jnp.float32)
+    lo = jax.lax.bitcast_convert_type(x & _U32(0xFFFF), jnp.int32).astype(jnp.float32)
+    return hi * jnp.float32(65536.0) + lo
+
+
+def _f2u_small(x):
+    """float32 in [0, 2**31) -> uint32 (trunc)."""
+    return jax.lax.bitcast_convert_type(x.astype(jnp.int32), _U32)
 
 
 # ---------------------------------------------------------------------------
@@ -74,25 +118,27 @@ def _div_digit(y_hi, y_lo, p):
     """One 16-bit quotient digit of divmod(y_hi*2**32 + y_lo, p); quotient
     must be < 2**16 (guaranteed by the caller's digit decomposition).  f32
     estimate corrected exactly in uint32 (see vectorized.py for the error
-    analysis)."""
+    analysis; the extra rounding of the two-part u32->f32 bridge keeps the
+    relative error ~2**-22, so |d_est - d| <= 2**16 * 2**-22 << 1 and the
+    two-step corrections below still clamp to the exact quotient)."""
     F = jnp.float32
-    yf = y_hi.astype(F) * F(4294967296.0) + y_lo.astype(F)
-    d = jnp.floor(yf / p.astype(F)).astype(_U32)
+    yf = _u2f_small(y_hi) * F(4294967296.0) + _u2f_full(y_lo)
+    d = _f2u_small(jnp.floor(yf / _u2f_small(p)))
     m_hi, m_lo = _mul_u32_u32(d, p)
-    borrow = (y_lo < m_lo).astype(_U32)
+    borrow = _b2u(y_lo < m_lo)
     r_lo = y_lo - m_lo
     r_hi = y_hi - m_hi - borrow
     for _ in range(2):  # d too high: remainder negative
         neg = (r_hi >> _U32(31)) & _U32(1)
         d = d - neg
         add = r_lo + neg * p
-        carry = (add < r_lo).astype(_U32)
+        carry = _b2u(add < r_lo)
         r_lo = add
         r_hi = r_hi + carry
     for _ in range(2):  # d too low: remainder >= p
-        big = ((r_hi > _U32(0)) | (r_lo >= p)).astype(_U32)
+        big = _b2u((r_hi > _U32(0)) | (r_lo >= p))
         d = d + big
-        sub_borrow = (r_lo < big * p).astype(_U32)
+        sub_borrow = _b2u(r_lo < big * p)
         r_lo = r_lo - big * p
         r_hi = r_hi - sub_borrow
     return d, r_lo
@@ -101,7 +147,7 @@ def _div_digit(y_hi, y_lo, p):
 def _divmod_head_by_p(hi, lo, p):
     """(q_hi, q_lo, r) = divmod(hi*2**32 + lo, p) under the post-renorm
     invariant hi < 2p."""
-    ge = (hi >= p).astype(_U32)
+    ge = _b2u(hi >= p)
     q_hi = ge
     r1 = hi - ge * p
     d1, rem1 = _div_digit(r1 >> _U32(16), (r1 << _U32(16)) | (lo >> _U32(16)), p)
@@ -133,7 +179,7 @@ def _decode_transition(hi, lo, p, c, masked):
     m_hi = m_hi + t_hi * p
     delta = masked - c
     new_lo = m_lo + delta
-    carry_bit = (new_lo < m_lo).astype(_U32)
+    carry_bit = _b2u(new_lo < m_lo)
     new_hi = m_hi + carry_bit
     return new_hi, new_lo, new_hi == _U32(0)
 
@@ -144,12 +190,38 @@ def _search_row(block, masked):
     block: (S, ...) uint32 exclusive-cumulative entries 0..S-1 (entry S =
     2**31 implicit); masked: (...) the low 31 head bits.  Returns
     (s int32, c, p) — gather-free: c = max of entries <= masked (cdf is
-    monotone), cdf[s+1] = min of entries > masked (default 2**31)."""
-    le = block <= masked[None]
+    monotone), cdf[s+1] = min of entries > masked (default 2**31).
+
+    All reductions run on an int32 bitcast: every cdf entry and `masked` is
+    < 2**31, where signed and unsigned order coincide — Mosaic cannot lower
+    reductions over unsigned integers (the round-1 TPU failure).  The one
+    out-of-range value, the implicit final entry 2**31, is handled by the
+    s == S-1 fixup below instead of an int32 sentinel."""
+    S = block.shape[0]
+    bi = jax.lax.bitcast_convert_type(block, jnp.int32)
+    mi = jax.lax.bitcast_convert_type(masked, jnp.int32)
+    le = bi <= mi[None]
     s = jnp.sum(le.astype(jnp.int32), axis=0, dtype=jnp.int32) - 1
-    c = jnp.max(jnp.where(le, block, _U32(0)), axis=0)
-    nxt = jnp.min(jnp.where(le, _U32(TOTAL_MASS), block), axis=0)
+    c_i = jnp.max(jnp.where(le, bi, jnp.int32(0)), axis=0)
+    nxt_i = jnp.min(jnp.where(le, jnp.int32(0x7FFFFFFF), bi), axis=0)
+    c = jax.lax.bitcast_convert_type(c_i, _U32)
+    # s == S-1 ⟺ every entry <= masked ⟺ cdf[s+1] is the implicit 2**31
+    nxt = jnp.where(
+        s == jnp.int32(S - 1),
+        _U32(TOTAL_MASS),
+        jax.lax.bitcast_convert_type(nxt_i, _U32),
+    )
     return s, c, nxt - c
+
+
+def _onehot_word(win_i32, kiota, cnt):
+    """Select window word k == cnt per lane via a masked int32 sum (TPU has
+    no per-lane dynamic gather; Mosaic cannot reduce unsigned ints, so the
+    window is pre-bitcast to int32 — the sum has exactly one non-zero term,
+    so it is bit-exact regardless of sign)."""
+    onehot = kiota == cnt[None]
+    word_i = jnp.sum(jnp.where(onehot, win_i32, jnp.int32(0)), axis=0, dtype=jnp.int32)
+    return jax.lax.bitcast_convert_type(word_i, _U32)
 
 
 # ---------------------------------------------------------------------------
@@ -225,7 +297,7 @@ def _encode_kernel(p_ref, c_ref, hi_ref, lo_ref,
         hi, lo = carry
         hi, lo, word, pushed = _encode_step(hi, lo, p_ref[t], c_ref[t])
         words_ref[t] = word
-        mask_ref[t] = pushed.astype(jnp.uint32)
+        mask_ref[t] = _b2u(pushed)
         return hi, lo
 
     hi, lo = jax.lax.fori_loop(0, chunk, body, (regs[0], regs[1]))
@@ -253,6 +325,7 @@ def _decode_kernel(cdf_ref, win_ref, hi_ref, lo_ref,
     chunk = cdf_ref.shape[0]
     W = win_ref.shape[0]
     kiota = jax.lax.broadcasted_iota(jnp.int32, (W,) + win_ref.shape[1:], 0)
+    win_i32 = jax.lax.bitcast_convert_type(win_ref[:], jnp.int32)
 
     def body(k, carry):
         hi, lo, cnt = carry
@@ -260,8 +333,7 @@ def _decode_kernel(cdf_ref, win_ref, hi_ref, lo_ref,
         masked = lo & _U32(_MASK31)
         s, c, p = _search_row(cdf_ref[t], masked)
         new_hi, new_lo, renorm = _decode_transition(hi, lo, p, c, masked)
-        onehot = kiota == cnt[None]
-        word = jnp.sum(jnp.where(onehot, win_ref[:], _U32(0)), axis=0, dtype=jnp.uint32)
+        word = _onehot_word(win_i32, kiota, cnt)
         hi = jnp.where(renorm, new_lo, new_hi)
         lo = jnp.where(renorm, word, new_lo)
         cnt = cnt + renorm.astype(jnp.int32)
@@ -282,10 +354,14 @@ def _decode_kernel(cdf_ref, win_ref, hi_ref, lo_ref,
 
 def _decode_kernel_shared(cdf_ref, win_ref, hi_ref, lo_ref,
                           hi_out, lo_out, cnt_out, syms_ref, regs, cnt_regs):
-    """Decode with a lane-shared CDF table: cdf_ref block is (chunk, S) —
-    the per-position row is broadcast across all lanes (used for the
-    Logistic(0,1) top-prior ops, where materializing (seq, S, L) would waste
-    HBM)."""
+    """Decode with a lane-shared CDF table: cdf_ref block is (chunk, S, 1, 128)
+    — the per-position row is broadcast across all R sublane rows in-kernel
+    (used for the Logistic(0,1) top-prior ops, where materializing a
+    (seq, S, L) per-lane table would waste HBM when L > 128).  The table
+    arrives pre-broadcast along a single 128-lane tile because Mosaic can
+    neither lower the (S,) -> (S, 1, 1) shape cast in-kernel (unsupported
+    reshape across lanes) nor store trailing (1, 1) dims without padding the
+    lane tile 128x (VMEM blow-up)."""
     from jax.experimental import pallas as pl
 
     g = pl.program_id(0)
@@ -299,16 +375,16 @@ def _decode_kernel_shared(cdf_ref, win_ref, hi_ref, lo_ref,
     chunk = cdf_ref.shape[0]
     W = win_ref.shape[0]
     kiota = jax.lax.broadcasted_iota(jnp.int32, (W,) + win_ref.shape[1:], 0)
+    win_i32 = jax.lax.bitcast_convert_type(win_ref[:], jnp.int32)
 
     def body(k, carry):
         hi, lo, cnt = carry
         t = chunk - 1 - k
         masked = lo & _U32(_MASK31)
-        block = cdf_ref[t][:, None, None]  # (S, 1, 1) broadcast over (R, 128)
+        block = cdf_ref[t]  # (S, 1, 128), broadcasts over (R, 128)
         s, c, p = _search_row(block, masked)
         new_hi, new_lo, renorm = _decode_transition(hi, lo, p, c, masked)
-        onehot = kiota == cnt[None]
-        word = jnp.sum(jnp.where(onehot, win_ref[:], _U32(0)), axis=0, dtype=jnp.uint32)
+        word = _onehot_word(win_i32, kiota, cnt)
         hi = jnp.where(renorm, new_lo, new_hi)
         lo = jnp.where(renorm, word, new_lo)
         cnt = cnt + renorm.astype(jnp.int32)
@@ -405,7 +481,7 @@ def decode_window_pallas(hi, lo, cdf, window):
     cdf_p = _pad_lanes(cdf, 2, Lp, np.uint32(0)).reshape(seq, S, R, 128)
     win_p = _pad_lanes(window, 1, Lp, np.uint32(0)).reshape(W, R, 128)
 
-    cap = max(1, _DECODE_VMEM_BUDGET // (S * R * 128 * 4))
+    cap = _decode_chunk_cap(S, R, W)
     chunk = _largest_chunk(seq, cap)
     grid = seq // chunk
     # chunks are consumed from the END of the sequence backwards
@@ -459,10 +535,13 @@ def decode_window_shared_pallas(hi, lo, cdf_shared, window):
     lo_p = _pad_lanes(lo, 0, Lp, np.uint32(0)).reshape(R, 128)
     win_p = _pad_lanes(window, 1, Lp, np.uint32(0)).reshape(W, R, 128)
 
-    chunk = _largest_chunk(seq, 512)
+    cap = _decode_chunk_cap(S, 1, W * R)  # cdf rows are 1-sublane; window is R
+    chunk = _largest_chunk(seq, cap)
     grid = seq // chunk
+    # pre-broadcast along one 128-lane tile: see _decode_kernel_shared
+    cdf4 = jnp.broadcast_to(cdf_shared[:, :, None, None], (seq, S, 1, 128))
     lane_spec = pl.BlockSpec((R, 128), lambda g: (0, 0), memory_space=pltpu.VMEM)
-    cdf_spec = pl.BlockSpec((chunk, S), lambda g: (grid - 1 - g, 0),
+    cdf_spec = pl.BlockSpec((chunk, S, 1, 128), lambda g: (grid - 1 - g, 0, 0, 0),
                             memory_space=pltpu.VMEM)
     win_spec = pl.BlockSpec((W, R, 128), lambda g: (0, 0, 0), memory_space=pltpu.VMEM)
     sym_spec = pl.BlockSpec((chunk, R, 128), lambda g: (grid - 1 - g, 0, 0),
@@ -486,7 +565,7 @@ def decode_window_shared_pallas(hi, lo, cdf_shared, window):
             pltpu.VMEM((1, R, 128), jnp.int32),
         ],
         interpret=_interpret(),
-    )(cdf_shared, win_p, hi_p, lo_p)
+    )(cdf4, win_p, hi_p, lo_p)
 
     hi2 = hi2.reshape(Lp)[:L]
     lo2 = lo2.reshape(Lp)[:L]

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 PRECISION_BITS = 31  # reference `ansbits` (mnist_compress.py:76)
@@ -47,6 +48,34 @@ class AnsTables(NamedTuple):
         return self.pmf.shape[-1]
 
 
+def _quantize_axis(pmf_float, quantbits: int, axis: int):
+    """The reference ANS.__init__ quantization (mnist_compress.py:29-36)
+    along `axis` — the ONE copy of this exactness-critical code, shared by
+    both table layouts.
+
+    - Clamp: in float32 table mode a CDF difference can round to a tiny
+      negative value, which must not wrap when cast to uint32.  (The f64
+      path never hits this; the reference ran f64 throughout.)
+    - trunc matches torch .long() (round toward zero; pmfs non-negative).
+    - Remainder to the (first) argmax bin; argmax of the post-+1 integers,
+      as in the reference.  The subtraction wraps mod 2**32 when float
+      rounding makes the row sum overshoot 2**31; adding the wrapped value
+      to the argmax bin is exact two's-complement arithmetic and the true
+      result is always non-negative (the argmax bin dwarfs |remainder|).
+    """
+    multiplier = float((1 << PRECISION_BITS) - (1 << quantbits))
+    pmf_float = jnp.maximum(pmf_float, 0.0)
+    pmf = jnp.trunc(pmf_float * multiplier).astype(jnp.uint32) + jnp.uint32(1)
+    remainder = (
+        jnp.uint32(TOTAL_MASS) - jnp.sum(pmf, axis=axis, keepdims=True)
+    ).astype(jnp.uint32)
+    amax = jnp.argmax(pmf, axis=axis, keepdims=True)
+    support = pmf.shape[axis]
+    iota = jax.lax.broadcasted_iota(jnp.int32, pmf.shape, pmf.ndim + axis if axis < 0 else axis)
+    onehot = (iota == amax.astype(jnp.int32)).astype(jnp.uint32)
+    return pmf + onehot * remainder
+
+
 def quantize_pmfs(pmf_float, quantbits: int) -> AnsTables:
     """Quantize float pmf rows to integer frequency + cumulative tables.
 
@@ -54,27 +83,7 @@ def quantize_pmfs(pmf_float, quantbits: int) -> AnsTables:
     masses (need not be exactly normalized — the reference's aren't either,
     since they come from CDF differences with clamped tails).
     """
-    multiplier = float((1 << PRECISION_BITS) - (1 << quantbits))
-    # Clamp: in float32 table mode a CDF difference can round to a tiny
-    # negative value, which must not wrap when cast to uint32.  (The f64 path
-    # never hits this; the reference ran f64 throughout.)
-    pmf_float = jnp.maximum(pmf_float, 0.0)
-    # trunc matches torch .long() (round toward zero; pmfs are non-negative)
-    pmf = jnp.trunc(pmf_float * multiplier).astype(jnp.uint32) + jnp.uint32(1)
-    # Remainder to the (first) argmax bin; argmax of the post-+1 integers, as
-    # in the reference (mnist_compress.py:36).  The subtraction wraps mod 2**32
-    # when float rounding makes the row sum overshoot 2**31; adding the wrapped
-    # value to the argmax bin is exact two's-complement arithmetic and the true
-    # result is always non-negative (the argmax bin dwarfs |remainder|).
-    remainder = (jnp.uint32(TOTAL_MASS) - jnp.sum(pmf, axis=-1, keepdims=True)).astype(
-        jnp.uint32
-    )
-    amax = jnp.argmax(pmf, axis=-1, keepdims=True)
-    support = pmf.shape[-1]
-    onehot = (
-        jnp.arange(support, dtype=jnp.int32) == amax.astype(jnp.int32)
-    ).astype(jnp.uint32)
-    pmf = pmf + onehot * remainder
+    pmf = _quantize_axis(pmf_float, quantbits, axis=-1)
     cdf = _exclusive_cumsum(pmf)
     return AnsTables(pmf=pmf, cdf=cdf)
 
@@ -89,25 +98,14 @@ def build_tables_ll(endpoint_cdfs, quantbits: int):
     the final row — entry `support` is always 2**31 and is implicit.
 
     Quantization semantics are identical to `quantize_pmfs` (reference
-    ANS.__init__, mnist_compress.py:29-47), applied along axis -2.
+    ANS.__init__, mnist_compress.py:29-47), applied along axis -2 by the
+    same shared `_quantize_axis`.
     """
     left = endpoint_cdfs[..., :1, :]
     right = 1.0 - endpoint_cdfs[..., -1:, :]
     mid = endpoint_cdfs[..., 1:, :] - endpoint_cdfs[..., :-1, :]
     pmf_float = jnp.concatenate([left, mid, right], axis=-2)
-
-    multiplier = float((1 << PRECISION_BITS) - (1 << quantbits))
-    pmf_float = jnp.maximum(pmf_float, 0.0)
-    pmf = jnp.trunc(pmf_float * multiplier).astype(jnp.uint32) + jnp.uint32(1)
-    remainder = (
-        jnp.uint32(TOTAL_MASS) - jnp.sum(pmf, axis=-2, keepdims=True)
-    ).astype(jnp.uint32)
-    amax = jnp.argmax(pmf, axis=-2, keepdims=True)
-    support = pmf.shape[-2]
-    onehot = (
-        jnp.arange(support, dtype=jnp.int32)[:, None] == amax.astype(jnp.int32)
-    ).astype(jnp.uint32)
-    pmf = pmf + onehot * remainder
+    pmf = _quantize_axis(pmf_float, quantbits, axis=-2)
     # exclusive cumsum, final (always-2**31) row dropped
     cum = jnp.cumsum(pmf, axis=-2, dtype=jnp.uint32)
     zero = jnp.zeros(pmf.shape[:-2] + (1,) + pmf.shape[-1:], dtype=jnp.uint32)

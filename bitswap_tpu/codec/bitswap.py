@@ -61,10 +61,24 @@ class CodecConfig:
     table_dtype: str = "float32"
     init_words: int = 10000  # mnist_compress.py:158
     capacity: int = 65536  # per-lane stream buffer words
+    # symbol flatten order: "nhwc" (framework-native) or "nchw" (the
+    # reference's torch flatten, mnist_train.py:321-335) — reference-stream
+    # parity mode needs "nchw" + table_dtype="float64" + reference bins
+    symbol_order: str = "nhwc"
 
     @property
     def zsupport(self) -> int:
         return 1 << self.quantbits
+
+
+def _flatten_perm(shape, from_order: str) -> np.ndarray:
+    """Row permutation taking per-dimension tables from `from_order` rows to
+    the other order's rows: perm[k] = source-order flat index of the k-th
+    target-order position.  shape is the NHWC (h, w, c) latent shape."""
+    h, w, c = shape
+    if from_order == "nhwc":  # target nchw
+        return np.arange(h * w * c).reshape(h, w, c).transpose(2, 0, 1).ravel()
+    return np.arange(h * w * c).reshape(c, h, w).transpose(1, 2, 0).ravel()
 
 
 class Codec:
@@ -79,9 +93,14 @@ class Codec:
         cfg = ccfg.model
         dt = jnp.dtype(ccfg.table_dtype)
         self._params = params
+        assert ccfg.symbol_order in ("nhwc", "nchw"), ccfg.symbol_order
 
-        self.zendpoints = jnp.asarray(bins.zendpoints, dt)  # (nz, zdim, S-1)
-        self.zcentres = jnp.asarray(bins.zcentres, dt)  # (nz, zdim, S)
+        zend, zcen = np.asarray(bins.zendpoints), np.asarray(bins.zcentres)
+        if getattr(bins, "order", "nhwc") != ccfg.symbol_order:
+            perm = _flatten_perm(cfg.zshape, getattr(bins, "order", "nhwc"))
+            zend, zcen = zend[:, perm], zcen[:, perm]
+        self.zendpoints = jnp.asarray(zend, dt)  # (nz, zdim, S-1)
+        self.zcentres = jnp.asarray(zcen, dt)  # (nz, zdim, S)
         xe, xc = image_bins(dtype=dt)
         self.xendpoints = xe  # (255,)
         self.xcentres = xc  # (256,)
@@ -124,22 +143,36 @@ class Codec:
 
     # -- model bridging ----------------------------------------------------
 
+    def _unflatten(self, flat, shape):
+        """(L, prod(shape)) symbol-order-flat values -> (L,) + NHWC shape."""
+        if self.ccfg.symbol_order == "nhwc":
+            return flat.reshape((-1,) + shape)
+        h, w, c = shape
+        return jnp.transpose(flat.reshape(-1, c, h, w), (0, 2, 3, 1))
+
+    def _flatten(self, img):
+        """(L,) + NHWC shape -> (L, dim) in the configured symbol order."""
+        if self.ccfg.symbol_order == "nhwc":
+            return img.reshape(img.shape[0], -1)
+        return jnp.transpose(img, (0, 3, 1, 2)).reshape(img.shape[0], -1)
+
     def _infer(self, zi: int, given_flat):
         """given_flat: (L, xdim or zdim) bin-centre values; returns flattened
         (mu, scale) each (L, zdim).  The cast mirrors the reference's
         compress-mode float64->float32->float64 bridge (mnist_train.py:
         321-377)."""
         cfg = self.ccfg.model
-        shape = (-1,) + (cfg.xs if zi == 0 else cfg.zshape)
-        given = given_flat.astype(jnp.float32).reshape(shape)
+        given = self._unflatten(
+            given_flat.astype(jnp.float32), cfg.xs if zi == 0 else cfg.zshape
+        )
         mu, scale = infer_apply(self._params, cfg, zi, given)
-        return mu.reshape(mu.shape[0], -1), scale.reshape(scale.shape[0], -1)
+        return self._flatten(mu), self._flatten(scale)
 
     def _generate(self, zi: int, z_flat):
         cfg = self.ccfg.model
-        given = z_flat.astype(jnp.float32).reshape((-1,) + cfg.zshape)
+        given = self._unflatten(z_flat.astype(jnp.float32), cfg.zshape)
         mu, scale = generate_apply(self._params, cfg, zi, given)
-        return mu.reshape(mu.shape[0], -1), scale.reshape(scale.shape[0], -1)
+        return self._flatten(mu), self._flatten(scale)
 
     def _zcentre_lookup(self, zi: int, sym):
         """(L, zdim) bin centres for symbol indices sym (L, zdim)."""

@@ -38,11 +38,15 @@ PPB = 30  # samples per bin (discretization.py:11)
 class DiscretizationBins(NamedTuple):
     """zendpoints: (nz, zdim, 2**qb - 1); zcentres: (nz, zdim, 2**qb).
 
-    Dimension order is the canonical NHWC flatten of the (16, 16, zc) latent.
+    `order` records the flatten order of the zdim rows: "nhwc" (canonical,
+    what discretize_bins produces from the (16, 16, zc) latent) or "nchw"
+    (the reference's flatten, what import_reference_bins yields).  The codec
+    permutes rows when its symbol order differs.
     """
 
     zendpoints: np.ndarray
     zcentres: np.ndarray
+    order: str = "nhwc"
 
     @property
     def quantbits(self) -> int:

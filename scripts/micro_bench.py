@@ -5,6 +5,9 @@ looped REPS times inside ONE jitted scan; the per-iteration time is then
 (call_time - overhead) / REPS with overhead measured by an empty scan.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import time
 
 import jax

@@ -2,6 +2,9 @@
 shifts, fori_loop state machines, and per-lane dynamic gather
 (take_along_axis along the sublane axis) inside a kernel."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import functools
 
 import jax

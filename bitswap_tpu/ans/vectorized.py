@@ -91,6 +91,31 @@ def init_lane_state(
     )
 
 
+def pad_lane_state(state: LaneState, num_lanes: int) -> LaneState:
+    """Append dummy lanes up to `num_lanes` (for sharding across a mesh that
+    does not divide L).  Padding lanes carry a valid fresh head (hi=1, empty
+    stack) so they code garbage harmlessly; callers slice results back to the
+    real lane count (container.pack_lanes(num_lanes=...))."""
+    L = state.num_lanes
+    assert num_lanes >= L
+    if num_lanes == L:
+        return state
+    extra = num_lanes - L
+
+    def pad(x, fill):
+        widths = [(0, extra)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, widths, constant_values=fill)
+
+    return LaneState(
+        buf=pad(state.buf, np.uint32(0)),
+        sp=pad(state.sp, np.int32(0)),
+        hi=pad(state.hi, np.uint32(1)),
+        lo=pad(state.lo, np.uint32(0)),
+        overflow=pad(state.overflow, False),
+        underflow=pad(state.underflow, False),
+    )
+
+
 def lane_state_to_ref_lists(state: LaneState):
     """Per-lane reference-style state lists (words + combined head) for tests
     and container serialization."""
@@ -229,6 +254,32 @@ def ans_decode_lanes_shared(state: LaneState, cdf_shared) -> Tuple[LaneState, jn
     seq = cdf_shared.shape[0]
     window = _pop_window(state, seq)
     hi, lo, syms, npop = _pc.decode_window_shared(state.hi, state.lo, cdf_shared, window)
+    underflow = state.underflow | (npop > state.sp)
+    state = state._replace(hi=hi, lo=lo, sp=state.sp - npop, underflow=underflow)
+    return state, jnp.swapaxes(syms, 0, 1)
+
+
+# -- table-free (fused affine-CDF) lane ops -----------------------------------
+
+
+def ans_encode_lanes_affine(state: LaneState, A, B, S: int, kind: str, symbols) -> LaneState:
+    """Encode via fused CDF evaluation (ans/fused.py): A, B (seq, L) f32
+    sigmoid-argument coefficients, symbols (L, seq) int32 in [0, S)."""
+    from bitswap_tpu.ans import fused as _fz
+
+    syms_ll = jnp.swapaxes(symbols.astype(jnp.int32), 0, 1)
+    hi, lo, words, mask = _fz.encode_window_affine(state.hi, state.lo, A, B, syms_ll, S, kind)
+    return _append_words(state._replace(hi=hi, lo=lo), words, mask)
+
+
+def ans_decode_lanes_affine(state: LaneState, A, B, S: int, kind: str) -> Tuple[LaneState, jnp.ndarray]:
+    """Decode via in-kernel binary search over the fused CDF.  Returns
+    (state, symbols (L, seq) int32)."""
+    from bitswap_tpu.ans import fused as _fz
+
+    seq = A.shape[0]
+    window = _pop_window(state, seq)
+    hi, lo, syms, npop = _fz.decode_window_affine(state.hi, state.lo, A, B, window, S, kind)
     underflow = state.underflow | (npop > state.sp)
     state = state._replace(hi=hi, lo=lo, sp=state.sp - npop, underflow=underflow)
     return state, jnp.swapaxes(syms, 0, 1)

@@ -35,8 +35,10 @@ import numpy as np
 from bitswap_tpu.ans.tables import build_tables_ll
 from bitswap_tpu.ans.vectorized import (
     LaneState,
+    ans_decode_lanes_affine,
     ans_decode_lanes_ll,
     ans_decode_lanes_shared,
+    ans_encode_lanes_affine,
     ans_encode_lanes_ll,
     ans_encode_lanes_shared,
     init_lane_state,
@@ -65,6 +67,20 @@ class CodecConfig:
     # reference's torch flatten, mnist_train.py:321-335) — reference-stream
     # parity mode needs "nchw" + table_dtype="float64" + reference bins
     symbol_order: str = "nhwc"
+    # coder backend: "fused" evaluates the quantized CDF pointwise inside the
+    # kernels (table-free, binary-search decode — ans/fused.py; needs
+    # equal-width bins, which discretize_bins produces); "tables" materializes
+    # reference-quantized integer tables (exact reference semantics, required
+    # for float64 byte parity).  "auto" = fused for float32, tables for
+    # float64.
+    coder: str = "auto"
+
+    @property
+    def use_fused(self) -> bool:
+        if self.coder == "auto":
+            return self.table_dtype == "float32"
+        assert self.coder in ("fused", "tables"), self.coder
+        return self.coder == "fused"
 
     @property
     def zsupport(self) -> int:
@@ -101,17 +117,50 @@ class Codec:
             zend, zcen = zend[:, perm], zcen[:, perm]
         self.zendpoints = jnp.asarray(zend, dt)  # (nz, zdim, S-1)
         self.zcentres = jnp.asarray(zcen, dt)  # (nz, zdim, S)
-        xe, xc = image_bins(dtype=dt)
-        self.xendpoints = xe  # (255,)
-        self.xcentres = xc  # (256,)
 
-        # static prior table (top layer, Logistic(0,1)): ONE (zdim, S) uint32
-        # row set shared by all lanes — the coder broadcasts it in-kernel
-        # instead of materializing per-lane copies
-        prior_cdfs = logistic_cdf(
-            self.zendpoints[cfg.nz - 1], jnp.asarray(0.0, dt), jnp.asarray(1.0, dt)
-        )  # (zdim, S-1)
-        self.prior_cdf_table = build_tables_ll(prior_cdfs[..., None], ccfg.quantbits)[..., 0]
+        if ccfg.use_fused:
+            # equal-width affine form of the bins: endpoint(j) = e0 + j*w.
+            # Layers 0..nz-2 come from uniform discretization
+            # (discretize.py's KBinsDiscretizer-uniform equivalent); the top
+            # layer's equal-mass prior bins are handled analytically as
+            # "logit" kind inside the kernels, so no affine form is needed.
+            # All prep stays in numpy — on remote-tunnel backends (axon)
+            # every eager device op is a separate compile round trip.
+            S = ccfg.zsupport
+            ze32 = np.asarray(zend, np.float32)
+            w_np = (ze32[..., -1] - ze32[..., 0]) / max(S - 2, 1)  # (nz, zdim)
+            if cfg.nz > 1:
+                fitted = (
+                    ze32[:-1, :, :1]
+                    + np.arange(S - 1, dtype=np.float32) * w_np[:-1, :, None]
+                )
+                dev = np.max(np.abs(fitted - ze32[:-1]))
+                span = float(np.median(w_np[:-1])) or 1.0
+                assert dev < 1e-2 * abs(span) * S, (
+                    f"fused coder needs equal-width bins (max deviation {dev}); "
+                    "use coder='tables' for non-uniform bins"
+                )
+            self._z_e0 = jnp.asarray(ze32[..., 0])  # (nz, zdim)
+            self._z_w = jnp.asarray(w_np)
+            # pixel bins (rand.py:134-153): e(j) = ((j+1)-127.5)/127.5 - 1/255
+            self._x_w = float(1.0 / 127.5)
+            self._x_e0 = float((1.0 - 127.5) / 127.5 - 1.0 / 255.0)
+
+        # All remaining static device prep in ONE jitted program (eager ops
+        # are prohibitively slow on tunneled backends — one compile instead
+        # of ~25): the pixel bins and the static top-prior table — ONE
+        # (zdim, S) uint32 row set shared by all lanes, broadcast in-kernel
+        # instead of materialized per lane.
+        def _static_prep(zend_top):
+            xe, xc = image_bins(dtype=dt)
+            prior_cdfs = logistic_cdf(
+                zend_top, jnp.asarray(0.0, dt), jnp.asarray(1.0, dt)
+            )  # (zdim, S-1)
+            return xe, xc, build_tables_ll(prior_cdfs[..., None], ccfg.quantbits)[..., 0]
+
+        self.xendpoints, self.xcentres, self.prior_cdf_table = jax.jit(_static_prep)(
+            jnp.asarray(zend[cfg.nz - 1], dt)
+        )
 
         self._encode_jit = jax.jit(self._encode_seq)
         self._encode_counts_jit = jax.jit(self._encode_seq_counts)
@@ -140,6 +189,58 @@ class Codec:
         scale_ll = jnp.swapaxes(scale.astype(dt), 0, 1)[:, None, :]
         cdfs = logistic_cdf(self.xendpoints[None, :, None], mu_ll, scale_ll)
         return build_tables_ll(cdfs, 8)
+
+    # -- coder op dispatch (fused affine-CDF vs materialized tables) --------
+
+    def _z_kind(self, zi: int) -> str:
+        # top layer bins are equal-mass under the Logistic(0,1) prior
+        # (discretization.py:25-27) -> analytic logit endpoints
+        return "logit" if zi == self.ccfg.model.nz - 1 else "linear"
+
+    def _z_AB(self, zi: int, mu, scale):
+        """Sigmoid-argument coefficients for latent layer zi: arg(v) =
+        A + B*e(v) with e linear or logit (ans/fused.py).  mu, scale (L,
+        zdim) -> A, B (zdim, L) f32 lanes-last."""
+        mu = mu.astype(jnp.float32)
+        scale = scale.astype(jnp.float32)
+        if self._z_kind(zi) == "logit":
+            A, B = -mu / scale, 1.0 / scale
+        else:
+            e0, w = self._z_e0[zi], self._z_w[zi]  # (zdim,)
+            A = (e0[None, :] - w[None, :] - mu) / scale
+            B = w[None, :] / scale
+        return jnp.swapaxes(A, 0, 1), jnp.swapaxes(B, 0, 1)
+
+    def _x_AB(self, mu, scale):
+        mu = mu.astype(jnp.float32)
+        scale = scale.astype(jnp.float32)
+        A = (self._x_e0 - self._x_w - mu) / scale
+        B = self._x_w / scale
+        return jnp.swapaxes(A, 0, 1), jnp.swapaxes(B, 0, 1)
+
+    def _decode_z(self, state, zi, mu, scale):
+        if self.ccfg.use_fused:
+            A, B = self._z_AB(zi, mu, scale)
+            return ans_decode_lanes_affine(state, A, B, self.ccfg.zsupport, self._z_kind(zi))
+        return ans_decode_lanes_ll(state, self._z_tables(zi, mu, scale))
+
+    def _encode_z(self, state, zi, mu, scale, sym):
+        if self.ccfg.use_fused:
+            A, B = self._z_AB(zi, mu, scale)
+            return ans_encode_lanes_affine(state, A, B, self.ccfg.zsupport, self._z_kind(zi), sym)
+        return ans_encode_lanes_ll(state, self._z_tables(zi, mu, scale), sym)
+
+    def _decode_x(self, state, mu, scale):
+        if self.ccfg.use_fused:
+            A, B = self._x_AB(mu, scale)
+            return ans_decode_lanes_affine(state, A, B, 256, "linear")
+        return ans_decode_lanes_ll(state, self._x_tables(mu, scale))
+
+    def _encode_x(self, state, mu, scale, x):
+        if self.ccfg.use_fused:
+            A, B = self._x_AB(mu, scale)
+            return ans_encode_lanes_affine(state, A, B, 256, "linear", x)
+        return ans_encode_lanes_ll(state, self._x_tables(mu, scale), x)
 
     # -- model bridging ----------------------------------------------------
 
@@ -196,8 +297,7 @@ class Codec:
         def infer_decode(zi, zsym):
             given = self.xcentres[x] if zi == 0 else self._zcentre_lookup(zi - 1, zsym)
             mu, scale = self._infer(zi, given)
-            cdf = self._z_tables(zi, mu, scale)
-            st, sym = ans_decode_lanes_ll(state_ref[0], cdf)
+            st, sym = self._decode_z(state_ref[0], zi, mu, scale)
             if min_sp_ref[0] is not None:
                 min_sp_ref[0] = jnp.minimum(min_sp_ref[0], st.sp)
             return st, sym
@@ -206,10 +306,8 @@ class Codec:
             zc = self._zcentre_lookup(zi, zsymtop)
             mu, scale = self._generate(zi, zc)
             if zi == 0:
-                cdf = self._x_tables(mu, scale)
-                return ans_encode_lanes_ll(state_ref[0], cdf, x)
-            cdf = self._z_tables(zi - 1, mu, scale)
-            return ans_encode_lanes_ll(state_ref[0], cdf, zsym)
+                return self._encode_x(state_ref[0], mu, scale, x)
+            return self._encode_z(state_ref[0], zi - 1, mu, scale, zsym)
 
         state_ref = [state]
         min_sp_ref = [min_sp]
@@ -252,13 +350,13 @@ class Codec:
                 zc = self._zcentre_lookup(zi, zsymtop)
                 mu, scale = self._generate(zi, zc)
                 if zi == 0:
-                    state, sym = ans_decode_lanes_ll(state, self._x_tables(mu, scale))
+                    state, sym = self._decode_x(state, mu, scale)
                     given = self.xcentres[sym]
                 else:
-                    state, sym = ans_decode_lanes_ll(state, self._z_tables(zi - 1, mu, scale))
+                    state, sym = self._decode_z(state, zi - 1, mu, scale)
                     given = self._zcentre_lookup(zi - 1, sym)
                 mu, scale = self._infer(zi, given)
-                state = ans_encode_lanes_ll(state, self._z_tables(zi, mu, scale), zsymtop)
+                state = self._encode_z(state, zi, mu, scale, zsymtop)
                 zsymtop = sym
             return state, zsymtop
         else:
@@ -267,9 +365,9 @@ class Codec:
                 zc = self._zcentre_lookup(zi, zsymtop)
                 mu, scale = self._generate(zi, zc)
                 if zi == 0:
-                    state, sym = ans_decode_lanes_ll(state, self._x_tables(mu, scale))
+                    state, sym = self._decode_x(state, mu, scale)
                 else:
-                    state, sym = ans_decode_lanes_ll(state, self._z_tables(zi - 1, mu, scale))
+                    state, sym = self._decode_z(state, zi - 1, mu, scale)
                 zs.append(sym)
                 zsymtop = sym
             x = zs[-1]
@@ -280,7 +378,7 @@ class Codec:
                 sym = zs[nz - zi]  # z_zi (or x when zi == 0... see below)
                 given = self.xcentres[x] if zi == 0 else self._zcentre_lookup(zi - 1, sym)
                 mu, scale = self._infer(zi, given)
-                state = ans_encode_lanes_ll(state, self._z_tables(zi, mu, scale), zsymtop)
+                state = self._encode_z(state, zi, mu, scale, zsymtop)
                 zsymtop = sym
             return state, x
 
@@ -330,12 +428,12 @@ class Codec:
         nz = self.ccfg.model.nz
         given = self.xcentres[x]
         mu, scale = self._infer(0, given)
-        st, zsymtop = ans_decode_lanes_ll(state, self._z_tables(0, mu, scale))
+        st, zsymtop = self._decode_z(state, 0, mu, scale)
         if not self.ccfg.bitswap:
             for zi in range(1, nz):
                 given = self._zcentre_lookup(zi - 1, zsymtop)
                 mu, scale = self._infer(zi, given)
-                st, zsymtop = ans_decode_lanes_ll(st, self._z_tables(zi, mu, scale))
+                st, zsymtop = self._decode_z(st, zi, mu, scale)
         return st.sp
 
     def _decode_seq(self, state: LaneState, num_datapoints: int):

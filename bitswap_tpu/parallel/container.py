@@ -1,0 +1,110 @@
+"""Multi-lane stream container: deterministic variable-length lane gather.
+
+The single-stream demo container (codec/demo.py, mirroring the reference's
+demo_compress.py:273-284) holds ONE word stack + head.  Pod-scale encoding
+shards L independent lanes across devices/hosts (parallel/mesh.py), and each
+lane's stack depth is data-dependent — so persisting a sharded run needs a
+deterministic gather of L variable-length streams into one flat buffer whose
+bytes do not depend on the mesh shape.
+
+Layout (flat uint32, little-endian fields):
+
+    [ MAGIC, VERSION, L, meta_len,
+      meta[meta_len],
+      nwords[L],                      # per-lane stack depth after trimming
+      lane 0: words..., head_lo, head_hi,
+      lane 1: words..., head_lo, head_hi,
+      ... ]
+
+Lane order is the caller's global block order (lane l of the LaneState is
+always global stream l, regardless of which device held it), so containers
+written from a 1-device and an N-device run of the same data are
+byte-identical — asserted by tests/test_container.py.
+
+`jax.device_get` on the sharded LaneState performs the cross-host gather;
+no collective is involved (the reference analog is Horovod's rank-0-only
+serialization, mnist_train.py:895-899).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+from bitswap_tpu.ans.vectorized import LaneState, lane_state_from_ref_lists
+
+MAGIC = np.uint32(0x42535450)  # "BSTP"
+VERSION = np.uint32(1)
+
+
+def pack_lanes(
+    state: LaneState,
+    trim: Optional[np.ndarray] = None,
+    meta: Sequence[int] = (),
+    num_lanes: Optional[int] = None,
+) -> np.ndarray:
+    """Serialize a (possibly mesh-sharded) LaneState into one uint32 buffer.
+
+    trim: optional (L,) int — per-lane count of leading initializer words
+    never consumed during coding (the demo codec's `excess_state_len`,
+    demo_compress.py:113-160); they are omitted from the container.
+    meta: caller-defined uint32 words (e.g. [T, nblocks, h, w]) returned
+    verbatim by `unpack_lanes`.
+    num_lanes: real lane count when the state was padded for an uneven
+    mesh split (mesh.shard_lane_state); padding lanes are dropped.
+    """
+    # device_get gathers across processes/devices in lane order — the single
+    # deterministic host-side collection point
+    buf = np.asarray(state.buf)
+    sp = np.asarray(state.sp).astype(np.int64)
+    hi = np.asarray(state.hi).astype(np.uint64)
+    lo = np.asarray(state.lo).astype(np.uint64)
+    L = num_lanes if num_lanes is not None else buf.shape[0]
+    assert L <= buf.shape[0]
+    buf, sp, hi, lo = buf[:L], sp[:L], hi[:L], lo[:L]
+    assert not np.any(np.asarray(state.overflow)[:L]), "cannot pack overflowed lanes"
+    t = np.zeros(L, np.int64) if trim is None else np.asarray(trim).astype(np.int64)
+    assert t.shape == (L,) and np.all(t >= 0) and np.all(t <= sp)
+
+    nwords = (sp - t).astype(np.uint32)
+    meta_arr = np.asarray(list(meta), dtype=np.uint32)
+    header = np.asarray([MAGIC, VERSION, L, meta_arr.size], dtype=np.uint32)
+    parts = [header, meta_arr, nwords]
+    for l in range(L):
+        parts.append(buf[l, t[l] : sp[l]].astype(np.uint32))
+        parts.append(np.asarray([lo[l] & 0xFFFFFFFF, hi[l] & 0xFFFFFFFF], np.uint32))
+    return np.concatenate(parts)
+
+
+def unpack_lanes(arr: np.ndarray, capacity: int) -> Tuple[LaneState, np.ndarray]:
+    """Inverse of pack_lanes -> (LaneState, meta uint32 array).
+
+    The LaneState is rebuilt host-side (replicated / unsharded); callers
+    reshard it onto whatever mesh the decode runs on
+    (parallel.mesh.shard_lane_state) — the container is mesh-agnostic.
+    """
+    arr = np.asarray(arr)
+    if arr.dtype != np.uint32 or arr.ndim != 1 or arr.size < 4:
+        raise ValueError("not a lane container (need a flat uint32 array)")
+    if arr[0] != MAGIC:
+        raise ValueError(f"bad magic {arr[0]:#x}")
+    if arr[1] != VERSION:
+        raise ValueError(f"unsupported container version {arr[1]}")
+    L = int(arr[2])
+    meta_len = int(arr[3])
+    off = 4
+    meta = arr[off : off + meta_len].copy()
+    off += meta_len
+    nwords = arr[off : off + L].astype(np.int64)
+    off += L
+    lanes = []
+    for l in range(L):
+        n = int(nwords[l])
+        words = arr[off : off + n]
+        head_lo, head_hi = int(arr[off + n]), int(arr[off + n + 1])
+        off += n + 2
+        lanes.append(list(map(int, words)) + [(head_hi << 32) | head_lo])
+    if off != arr.size:
+        raise ValueError(f"container size mismatch: consumed {off} of {arr.size}")
+    return lane_state_from_ref_lists(lanes, capacity=capacity), meta

@@ -25,10 +25,11 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from bitswap_tpu.ans.vectorized import LaneState
+from bitswap_tpu.ans.vectorized import LaneState, pad_lane_state
 from bitswap_tpu.models.vae import VAEConfig
 from bitswap_tpu.train.runtime import TrainConfig, TrainState, make_train_step
 
@@ -57,13 +58,37 @@ def shard_batch(mesh: Mesh, batch, axis: str = "data"):
 
 
 def shard_lane_state(mesh: Mesh, state: LaneState, axis: str = "data") -> LaneState:
-    """Shard every per-lane array of the coder state along the lane axis."""
+    """Shard every per-lane array of the coder state along the lane axis.
+
+    When L is not a multiple of the mesh axis, the state is padded with
+    dummy lanes first (pad_lane_state) — callers must pad the symbol batch
+    to match (pad_lanes_like) and slice decoded lanes back to the real L;
+    container.pack_lanes(num_lanes=L) drops the padding at serialization.
+    """
+    n = mesh.shape[axis]
+    L = state.num_lanes
+    if L % n:
+        state = pad_lane_state(state, L + n - L % n)
 
     def put(x):
         spec = P(axis, *([None] * (x.ndim - 1)))
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return LaneState(*(put(x) for x in state))
+
+
+def pad_lanes_like(mesh: Mesh, xs, axis: str = "data", lane_axis: int = 1):
+    """Pad a (T, L, ...) symbol batch along its lane axis to the padded lane
+    count shard_lane_state will use (repeats the last lane; padding lanes'
+    outputs are discarded)."""
+    n = mesh.shape[axis]
+    L = xs.shape[lane_axis]
+    if L % n == 0:
+        return xs
+    extra = n - L % n
+    widths = [(0, 0)] * np.ndim(xs)
+    widths[lane_axis] = (0, extra)
+    return jnp.pad(xs, widths, mode="edge")
 
 
 def make_dp_train_step(cfg: VAEConfig, tcfg: TrainConfig, mesh: Mesh, axis: str = "data"):

@@ -1,0 +1,98 @@
+"""Multi-lane container: mesh-agnostic bytes + resharded round trip.
+
+The container (parallel/container.py) must (1) serialize a sharded encode's
+LaneState into bytes that do not depend on the mesh shape, and (2) round-trip
+through a DIFFERENT mesh on decode — the pod-scale analog of the reference's
+pickled single-stream state (mnist_compress.py:265-267).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from bitswap_tpu.ans.vectorized import (
+    init_lane_state,
+    lane_state_to_ref_lists,
+)
+from bitswap_tpu.parallel.container import pack_lanes, unpack_lanes
+from bitswap_tpu.parallel.mesh import data_mesh, replicate, shard_lane_state
+
+
+class TestPackUnpack:
+    def test_roundtrip_preserves_state(self):
+        st = init_lane_state(5, capacity=256, init_words=32)
+        packed = pack_lanes(st, meta=[7, 11])
+        st2, meta = unpack_lanes(packed, capacity=256)
+        assert list(meta) == [7, 11]
+        assert lane_state_to_ref_lists(st2) == lane_state_to_ref_lists(st)
+
+    def test_trim_drops_leading_words(self):
+        st = init_lane_state(3, capacity=128, init_words=16)
+        trim = np.asarray([0, 4, 15])
+        packed = pack_lanes(st, trim=trim)
+        st2, _ = unpack_lanes(packed, capacity=128)
+        want = lane_state_to_ref_lists(st)
+        got = lane_state_to_ref_lists(st2)
+        for l in range(3):
+            assert got[l] == want[l][trim[l]:]
+
+    def test_rejects_garbage(self):
+        with pytest.raises(ValueError):
+            unpack_lanes(np.zeros(8, np.uint32), capacity=64)
+        with pytest.raises(ValueError):
+            unpack_lanes(np.zeros(2, np.float32), capacity=64)
+
+
+class TestShardedCodecContainer:
+    """Encode on an 8-device mesh, pack; decode from the container on a
+    1-device mesh (and vice versa) — bytes identical, round trip exact."""
+
+    @pytest.fixture(scope="class")
+    def setup(self):
+        from bitswap_tpu.models import VAEConfig, init_params, data_dependent_init
+        from bitswap_tpu.codec.discretize import discretize_bins
+        from bitswap_tpu.codec.bitswap import CodecConfig, make_codec
+        from tests.test_codec import _structured_images
+
+        cfg = VAEConfig(xs=(32, 32, 1), nz=2, zchannels=1, nprocessing=1,
+                        resdepth=1, reswidth=8)
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        warm = _structured_images(16, cfg.xs, 0).astype(np.float32)
+        params = data_dependent_init(params, cfg, jax.random.PRNGKey(1), jnp.asarray(warm))
+        bins = discretize_bins(params, cfg, quantbits=4, key=jax.random.PRNGKey(2),
+                               data=warm, batch_size=16)
+        ccfg = CodecConfig(model=cfg, quantbits=4, bitswap=True,
+                           table_dtype="float32", init_words=64, capacity=4096)
+        codec = make_codec(params, ccfg, bins)
+        L, T = 12, 2  # L=12 not divisible by 8: uneven lanes/devices split
+        xs = _structured_images(T * L, cfg.xs, 5).reshape(T, L, cfg.xdim)
+        return codec, ccfg, jnp.asarray(xs), L, T
+
+    def test_mesh_shape_does_not_change_bytes(self, setup):
+        from bitswap_tpu.parallel.mesh import pad_lanes_like
+
+        codec, ccfg, xs, L, T = setup
+        packs = {}
+        for n in (1, 8):
+            mesh = data_mesh(n)
+            st = shard_lane_state(mesh, codec.init_state(L))
+            st = codec.encode_datapoints(st, pad_lanes_like(mesh, xs))
+            packs[n] = pack_lanes(st, meta=[T], num_lanes=L)
+        np.testing.assert_array_equal(packs[1], packs[8])
+
+    def test_container_decodes_on_other_mesh(self, setup):
+        from bitswap_tpu.parallel.mesh import pad_lanes_like
+
+        codec, ccfg, xs, L, T = setup
+        mesh8 = data_mesh(8)
+        st = shard_lane_state(mesh8, codec.init_state(L))
+        st = codec.encode_datapoints(st, pad_lanes_like(mesh8, xs))
+        packed = pack_lanes(st, meta=[T], num_lanes=L)
+
+        st2, meta = unpack_lanes(packed, capacity=ccfg.capacity)
+        assert int(meta[0]) == T
+        mesh1 = data_mesh(1)
+        st2 = shard_lane_state(mesh1, st2)
+        st2, decoded = codec.decode_datapoints(st2, T)
+        np.testing.assert_array_equal(np.asarray(decoded)[:, :L], np.asarray(xs))

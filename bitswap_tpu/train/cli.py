@@ -41,6 +41,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval-every", type=int, default=5, help="epochs between eval passes")
     p.add_argument("--warmup-batches", type=int, default=25)
     p.add_argument("--data-dir", default="data")
+    p.add_argument("--synthetic-n", type=int, default=2048,
+                   help="synthetic train-set size when no real data present")
     p.add_argument("--out-dir", default="runs")
     p.add_argument("--tag", default=None, help="run tag (default {dataset}_nz{nz})")
     p.add_argument("--no-dp", action="store_true", help="single-device (no mesh)")
@@ -52,6 +54,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    # stack dumps on demand (kill -USR1 <pid>) — long remote compiles on
+    # tunneled backends are otherwise indistinguishable from hangs
+    import faulthandler
+    import signal
+
+    faulthandler.register(signal.SIGUSR1)
     args = build_parser().parse_args(argv)
     if args.multihost:
         import jax
@@ -98,14 +106,17 @@ def main(argv=None) -> int:
     timer = PhaseTimer(sync=False)
     is_root = jax.process_index() == 0
 
-    train_data, syn_train = load_dataset(args.dataset, "train", cfg.xs, args.data_dir)
+    train_data, syn_train = load_dataset(args.dataset, "train", cfg.xs, args.data_dir,
+                                         synthetic_n=args.synthetic_n)
     test_data, _ = load_dataset(args.dataset, "test", cfg.xs, args.data_dir)
     if is_root:
         print(f"model: {args.dataset} nz={nz} reswidth={cfg.reswidth} "
               f"({'synthetic' if syn_train else 'real'} data, {len(train_data)} train)")
 
     key = jax.random.PRNGKey(args.seed)
-    params = init_params(key, cfg)
+    # jit: one program instead of hundreds of tiny eager dispatches (slow on
+    # remote-compile backends)
+    params = jax.jit(lambda k: init_params(k, cfg))(key)
     if is_root:
         print(f"params: {param_count(params):,}")
 

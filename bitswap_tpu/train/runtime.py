@@ -70,26 +70,41 @@ def _optimizer(tcfg: TrainConfig):
 
 def init_train_state(params, tcfg: TrainConfig) -> TrainState:
     opt = _optimizer(tcfg)
-    # copy params: the jitted train step donates its state, so the state must
-    # own its buffers (callers keep their params tree valid)
-    return TrainState(
-        params=jax.tree_util.tree_map(jnp.copy, params),
-        opt_state=opt.init(params),
-        ema_params=jax.tree_util.tree_map(jnp.copy, params),
-        step=jnp.zeros((), jnp.int32),
-    )
+
+    # one jitted program: eagerly copying/initializing hundreds of leaves is
+    # hundreds of tiny compiles on a remote-compile backend
+    @jax.jit
+    def _init(p):
+        # copy params: the jitted train step donates its state, so the state
+        # must own its buffers (callers keep their params tree valid)
+        return TrainState(
+            params=jax.tree_util.tree_map(jnp.copy, p),
+            opt_state=opt.init(p),
+            ema_params=jax.tree_util.tree_map(jnp.copy, p),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    return _init(params)
 
 
-def warmup(params, cfg: VAEConfig, key, data_loader, warmup_batches: int):
+def warmup(params, cfg: VAEConfig, key, data_loader, warmup_batches: int,
+           max_images: int = 640):
     """Data-dependent init on `warmup_batches` stacked batches
-    (mnist_train.py:557-599)."""
+    (mnist_train.py:557-599).  `max_images` caps the stacked batch — the init
+    statistics converge long before the reference's 1600 images, and the cap
+    keeps the one-off XLA compile of the DDI graph fast on remote backends."""
     stack = []
     for i, batch in enumerate(data_loader):
         stack.append(np.asarray(batch))
         if i + 1 == warmup_batches:
             break
-    x = jnp.asarray(np.concatenate(stack, axis=0), jnp.float32)
-    return data_dependent_init(params, cfg, key, x)
+    x = jnp.asarray(np.concatenate(stack, axis=0)[:max_images], jnp.float32)
+    # jit: DDI is a few hundred eager ops — on a remote/tunneled backend each
+    # eager dispatch is a round trip, so one compiled call is vastly faster
+    ddi = jax.jit(lambda p, k, xx: data_dependent_init(p, cfg, k, xx))
+    # keep the result on device: per-leaf host transfers are punishingly slow
+    # on tunneled backends (hundreds of round trips for this pytree)
+    return jax.block_until_ready(ddi(params, key, x))
 
 
 def make_train_step(cfg: VAEConfig, tcfg: TrainConfig):

@@ -20,6 +20,7 @@ callers broadcast; on TPU the broadcast is free inside the fused table-build.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from bitswap_tpu.ops.logistic import logistic_icdf
 
@@ -47,6 +48,9 @@ def image_bins(dtype=jnp.float64):
     between pixel values k and k+1); centres[v] = (v - 127.5)/127.5 for
     v = 0..255.  Matches `ImageBins.endpoints/centres` (rand.py:143-153).
     """
-    endpoints = (jnp.arange(1, 256, dtype=dtype) - 127.5) / 127.5 - 1.0 / 255.0
-    centres = (jnp.arange(0, 256, dtype=dtype) - 127.5) / 127.5
-    return endpoints, centres
+    # arithmetic in numpy: IEEE-exact host math matches the reference's torch
+    # doubles bit-for-bit, whereas XLA may rewrite the division by 127.5 into
+    # a multiply-by-reciprocal (1-ulp drift that breaks stream byte parity)
+    endpoints = (np.arange(1, 256, dtype=np.float64) - 127.5) / 127.5 - 1.0 / 255.0
+    centres = (np.arange(0, 256, dtype=np.float64) - 127.5) / 127.5
+    return jnp.asarray(endpoints, dtype), jnp.asarray(centres, dtype)

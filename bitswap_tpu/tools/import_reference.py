@@ -21,10 +21,11 @@ Mapping rules (reference module tree, model/mnist_train.py:85-308):
 Byte-level stream parity additionally needs the reference's *bins* (the
 cached `bins/*.pt` tables), float64 coder tables (`table_dtype="float64"`),
 the NCHW symbol order (`CodecConfig.symbol_order="nchw"`), and the
-reference's exact initial state; with no checkpoint/bins assets reachable
-from this environment (no network egress), end-to-end byte parity is
-blocked on assets — the mapping itself is unit-tested against the
-reference's own torch modules in tests/test_import.py.
+reference's exact initial state.  Executed stream-level byte parity against
+the reference's own coding loop (its `ANS` class, `Model` compress-mode
+closures, and `discretize()` bins) is proven in
+tests/test_stream_parity.py; the module mapping itself is unit-tested
+against the reference's own torch modules in tests/test_import.py.
 """
 
 from __future__ import annotations

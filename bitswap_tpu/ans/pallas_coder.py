@@ -34,7 +34,7 @@ the jnp and Pallas paths — tests/test_pallas.py asserts this.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -53,13 +53,17 @@ _DECODE_VMEM_BUDGET = 4 * 1024 * 1024
 _ENCODE_CHUNK = 512
 
 
-def _decode_chunk_cap(S: int, R: int, window_words: int) -> int:
+def _decode_chunk_cap(S: int, R: int, window_words: int,
+                      syms_R: Optional[int] = None) -> int:
     """Largest cdf-chunk length whose grid-step blocks fit the budget: the
     always-resident window block is charged first, then each chunk unit costs
-    one (S, R, 128) cdf row plus one (R, 128) syms row."""
+    one (S, R, 128) cdf row plus one (syms_R, 128) syms row.  syms_R defaults
+    to R; the shared-table path charges cdf rows at 1 sublane but its syms
+    block is still R sublanes per chunk unit."""
     row = R * 128 * 4
+    syms_row = (R if syms_R is None else syms_R) * 128 * 4
     avail = _DECODE_VMEM_BUDGET - window_words * row
-    return max(1, avail // ((S + 1) * row))
+    return max(1, avail // (S * row + syms_row))
 
 
 # ---------------------------------------------------------------------------
@@ -535,7 +539,7 @@ def decode_window_shared_pallas(hi, lo, cdf_shared, window):
     lo_p = _pad_lanes(lo, 0, Lp, np.uint32(0)).reshape(R, 128)
     win_p = _pad_lanes(window, 1, Lp, np.uint32(0)).reshape(W, R, 128)
 
-    cap = _decode_chunk_cap(S, 1, W * R)  # cdf rows are 1-sublane; window is R
+    cap = _decode_chunk_cap(S, 1, W * R, syms_R=R)  # 1-sublane cdf rows; R-sublane syms
     chunk = _largest_chunk(seq, cap)
     grid = seq // chunk
     # pre-broadcast along one 128-lane tile: see _decode_kernel_shared

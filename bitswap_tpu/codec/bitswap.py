@@ -129,16 +129,30 @@ class Codec:
             S = ccfg.zsupport
             ze32 = np.asarray(zend, np.float32)
             w_np = (ze32[..., -1] - ze32[..., 0]) / max(S - 2, 1)  # (nz, zdim)
+            # the top layer must actually be the analytic equal-mass
+            # Logistic(0,1) bins the kernels assume: e(k) = log(k) - log(S-k)
+            # (discretization.py:25-27); a mismatched import would keep round
+            # trips exact but silently cost rate
+            ks = np.arange(1, S, dtype=np.float64)
+            logit_e = np.log(ks) - np.log(S - ks)
+            top_dev = np.max(np.abs(ze32[-1] - logit_e[None, :].astype(np.float32)))
+            assert top_dev < 1e-4, (
+                f"fused coder: top-layer bins deviate from analytic "
+                f"Logistic(0,1) equal-mass endpoints by {top_dev}; "
+                "use coder='tables' for imported/non-analytic bins"
+            )
             if cfg.nz > 1:
                 fitted = (
                     ze32[:-1, :, :1]
                     + np.arange(S - 1, dtype=np.float32) * w_np[:-1, :, None]
                 )
                 dev = np.max(np.abs(fitted - ze32[:-1]))
-                span = float(np.median(w_np[:-1])) or 1.0
-                assert dev < 1e-2 * abs(span) * S, (
-                    f"fused coder needs equal-width bins (max deviation {dev}); "
-                    "use coder='tables' for non-uniform bins"
+                span = float(np.median(np.abs(w_np[:-1]))) or 1.0
+                # a twentieth of one bin width: loose enough for float32
+                # linspace rounding, tight enough to reject non-uniform bins
+                assert dev < 5e-2 * span, (
+                    f"fused coder needs equal-width bins (max deviation {dev} "
+                    f"vs bin width {span}); use coder='tables' instead"
                 )
             self._z_e0 = jnp.asarray(ze32[..., 0])  # (nz, zdim)
             self._z_w = jnp.asarray(w_np)

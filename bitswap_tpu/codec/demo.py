@@ -5,13 +5,22 @@ an image file is cropped to 32-multiples, split into 32x32 blocks, and the
 block sequence is Bit-Swap coded through one ANS stream with the
 imagenetcrop-class model (nz=4, reswidth=256, conditional bottom scale).
 
-Container format (uint32 `.npy`, mirroring demo_compress.py:273-284):
-    [stream words..., head_lo, head_hi, nblocks, h, w]
-where `head_lo`/`head_hi` are the low/high 32-bit halves of the 64-bit ANS
-head, and (h, w) are the cropped dimensions.  The `excess_state_len` trick
-(demo_compress.py:113-160) is kept: initializer words below the minimum
-stack depth reached during coding are never consumed by either direction,
-so they are simply omitted from the container.
+Two container formats, auto-detected on decompress:
+
+- **serial** (`lanes="serial"`, mirroring demo_compress.py:273-284): one
+  stream, `[stream words..., head_lo, head_hi, nblocks, h, w]` — the
+  reference-layout parity mode, blocks coded sequentially as in
+  demo_compress.py:122-137.
+- **lane-parallel** (`lanes="auto"` default, or an int): one image's blocks
+  ride L lanes of the vectorized coder simultaneously — T = ceil(nblocks/L)
+  coding steps instead of nblocks — serialized with the deterministic
+  multi-lane container (parallel/container.py, meta = [nblocks, h, w]);
+  recognizable by its magic word.
+
+The `excess_state_len` trick (demo_compress.py:113-160) is kept in both:
+initializer words below the minimum stack depth reached during coding are
+never consumed by either direction, so they are simply omitted from the
+container (per lane in the parallel format).
 
 Decompression (demo_decompress.py:69-148) mirrors the sender in reverse,
 reassembles the blocks, verifies bit-exactness against the uncompressed
@@ -93,6 +102,16 @@ def unpack_container(arr: np.ndarray) -> Tuple[np.ndarray, int, int, int, int]:
     return arr[:-5].copy(), head, nblocks, h, w
 
 
+def _pick_lanes(nblocks: int, lanes) -> int:
+    """Lane count for the parallel mode: enough lanes to keep the coder's
+    128-wide vector units busy without padding small images excessively."""
+    if lanes == "auto":
+        return min(nblocks, 256)
+    L = int(lanes)
+    assert L >= 1
+    return min(nblocks, L)
+
+
 def compress_file(
     image_path: str,
     out_dir: Optional[str] = None,
@@ -100,6 +119,7 @@ def compress_file(
     baselines: bool = True,
     verbose: bool = True,
     codec=None,
+    lanes="auto",
 ) -> str:
     """Compress an image file; returns the container path.
 
@@ -121,20 +141,33 @@ def compress_file(
     os.makedirs(dirname, exist_ok=True)
     np.save(os.path.join(dirname, f"{stem}_uncompressed"), cropped)
 
+    L = 1 if lanes == "serial" else _pick_lanes(nblocks, lanes)
+    T = -(-nblocks // L)
     if codec is None:
-        codec, _ = _build_codec(params=params, capacity=_INIT_WORDS + nblocks * 3072)
+        codec, _ = _build_codec(params=params, capacity=_INIT_WORDS + T * 3072)
     cfg = codec.ccfg.model
     assert blocks.shape[1:] == cfg.xs, f"blocks {blocks.shape[1:]} vs model {cfg.xs}"
-    xs = blocks.reshape(nblocks, 1, cfg.xdim).astype(np.int32)  # (T, L=1, xdim)
-    state0 = codec.init_state(1, seed=100)
-    state, min_sp = codec.encode_datapoints_with_min_sp(state0, jnp.asarray(xs))
-    assert not bool(np.asarray(state.overflow)[0]), "stream buffer overflow"
 
-    sp = int(np.asarray(state.sp)[0])
-    trim = int(np.asarray(min_sp)[0])  # words never consumed (excess_state_len)
-    buf = np.asarray(state.buf)[0, :sp]
-    head = (int(np.asarray(state.hi)[0]) << 32) | int(np.asarray(state.lo)[0])
-    container = pack_container(buf[trim:], head, nblocks, h, w)
+    flat = blocks.reshape(nblocks, cfg.xdim).astype(np.int32)
+    if T * L != nblocks:  # pad with zero blocks; trimmed at reassembly
+        flat = np.concatenate(
+            [flat, np.zeros((T * L - nblocks, cfg.xdim), np.int32)])
+    xs = flat.reshape(T, L, cfg.xdim)  # block index = t*L + l
+    state0 = codec.init_state(L, seed=100)
+    state, min_sp = codec.encode_datapoints_with_min_sp(state0, jnp.asarray(xs))
+    assert not np.any(np.asarray(state.overflow)), "stream buffer overflow"
+
+    if lanes == "serial":
+        sp = int(np.asarray(state.sp)[0])
+        trim = int(np.asarray(min_sp)[0])  # words never consumed (excess_state_len)
+        buf = np.asarray(state.buf)[0, :sp]
+        head = (int(np.asarray(state.hi)[0]) << 32) | int(np.asarray(state.lo)[0])
+        container = pack_container(buf[trim:], head, nblocks, h, w)
+    else:
+        from bitswap_tpu.parallel.container import pack_lanes
+
+        container = pack_lanes(state, trim=np.asarray(min_sp),
+                               meta=(nblocks, h, w))
 
     out_path = os.path.join(dirname, f"{stem}_bitswap")
     np.save(out_path, container)
@@ -173,20 +206,37 @@ def decompress_file(
 
     if not container_path.endswith(_CONTAINER_SUFFIX):
         raise ValueError(f"expected a {_CONTAINER_SUFFIX} container: {container_path}")
-    words, head, nblocks, h, w = unpack_container(np.load(container_path))
+    arr = np.load(container_path)
 
-    if codec is None:
-        codec, _ = _build_codec(params=params, capacity=_INIT_WORDS + nblocks * 3072)
-    cfg = codec.ccfg.model
+    from bitswap_tpu.parallel.container import MAGIC, unpack_lanes
 
-    from bitswap_tpu.ans.vectorized import lane_state_from_ref_lists
+    if arr.size >= 1 and arr[0] == MAGIC:  # lane-parallel container
+        if codec is None:
+            codec, _ = _build_codec(params=params)
+        cfg = codec.ccfg.model
+        state, meta = unpack_lanes(arr)  # capacity from the container itself
+        nblocks, h, w = int(meta[0]), int(meta[1]), int(meta[2])
+        L = state.num_lanes
+        T = -(-nblocks // L)
+        state, xs = codec.decode_datapoints(state, T)
+        jax.block_until_ready(xs)
+        flat = np.asarray(xs).reshape(T * L, cfg.xdim)[:nblocks]
+    else:  # serial reference-layout container
+        words, head, nblocks, h, w = unpack_container(arr)
+        if codec is None:
+            codec, _ = _build_codec(params=params,
+                                    capacity=_INIT_WORDS + nblocks * 3072)
+        cfg = codec.ccfg.model
 
-    state = lane_state_from_ref_lists(
-        [list(map(int, words)) + [head]], capacity=codec.ccfg.capacity
-    )
-    state, xs = codec.decode_datapoints(state, nblocks)
-    jax.block_until_ready(xs)
-    blocks = np.asarray(xs).reshape(nblocks, 32, 32, cfg.xs[2]).astype(np.uint8)
+        from bitswap_tpu.ans.vectorized import lane_state_from_ref_lists
+
+        state = lane_state_from_ref_lists(
+            [list(map(int, words)) + [head]], capacity=codec.ccfg.capacity
+        )
+        state, xs = codec.decode_datapoints(state, nblocks)
+        jax.block_until_ready(xs)
+        flat = np.asarray(xs).reshape(nblocks, cfg.xdim)
+    blocks = flat.reshape(nblocks, 32, 32, cfg.xs[2]).astype(np.uint8)
     img = unextract_blocks(blocks, h, w)
 
     stem = container_path[: -len(_CONTAINER_SUFFIX)]
@@ -221,12 +271,17 @@ def main(argv=None) -> int:
     c.add_argument("image")
     c.add_argument("--out-dir", default=None)
     c.add_argument("--no-baselines", action="store_true")
+    c.add_argument("--lanes", default="auto",
+                   help="'auto' (lane-parallel), 'serial' (reference-layout "
+                        "container), or a lane count")
     d = sub.add_parser("decompress")
     d.add_argument("container")
     d.add_argument("--out", default=None)
     args = p.parse_args(argv)
     if args.cmd == "compress":
-        compress_file(args.image, out_dir=args.out_dir, baselines=not args.no_baselines)
+        lanes = args.lanes if args.lanes in ("auto", "serial") else int(args.lanes)
+        compress_file(args.image, out_dir=args.out_dir,
+                      baselines=not args.no_baselines, lanes=lanes)
     else:
         decompress_file(args.container, out_path=args.out)
     return 0

@@ -41,10 +41,14 @@ def _codec_bits_for_group(
     images: Sequence[np.ndarray], bitswap: bool, params, table_dtype: str,
     data_dir: str, codec=None,
 ) -> np.ndarray:
-    """Net Bit-Swap/BB-ANS bits for a group of images with EQUAL block
-    counts, coded as parallel lanes.  Returns per-image total net bits
-    (imagenetcrop_compress.py:210-213: (len(state) - len(init)) * 32 ...
-    the reference counts the full final stream against the initial)."""
+    """Bit-Swap/BB-ANS bits/dim for a group of images with EQUAL block
+    counts, coded as parallel lanes.
+
+    Metric semantics follow imagenetcrop_compress.py:210-213 exactly:
+    totalbits = (len(state) - (len(restbits) - 1)) * 32 — the final stream
+    (words + 1 head element) measured against the `restbits` snapshot taken
+    after the first block's initial decode(s), so unconsumed initial bits
+    are discounted but the head word is charged."""
     import jax.numpy as jnp
 
     from bitswap_tpu.codec.demo import _build_codec, _INIT_WORDS
@@ -65,11 +69,14 @@ def _codec_bits_for_group(
         [b.reshape(nblocks, cfg.xdim) for b in blocks_per_img], axis=1
     ).astype(np.int32)
     state0 = codec.init_state(L, seed=100)
-    state = codec.encode_datapoints(state0, jnp.asarray(xs))
+    xs_dev = jnp.asarray(xs)
+    rest_sp = np.asarray(codec.rest_sp(state0, xs_dev[0]))  # restbits snapshot
+    state = codec.encode_datapoints(state0, xs_dev)
     assert not np.any(np.asarray(state.overflow)), "stream buffer overflow"
-    net_words_arr = np.asarray(state.sp) - np.asarray(state0.sp)
+    # (len(state) - (len(restbits) - 1)) * 32 with len(·) = words + 1 head
+    total_words = np.asarray(state.sp) + 1 - rest_sp
     dims = np.asarray([b.size for b in blocks_per_img], dtype=np.float64)
-    return net_words_arr * 32.0 / dims
+    return total_words * 32.0 / dims
 
 
 def run_fullimage_benchmark(

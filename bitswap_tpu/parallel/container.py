@@ -21,9 +21,12 @@ always global stream l, regardless of which device held it), so containers
 written from a 1-device and an N-device run of the same data are
 byte-identical — asserted by tests/test_container.py.
 
-`jax.device_get` on the sharded LaneState performs the cross-host gather;
-no collective is involved (the reference analog is Horovod's rank-0-only
-serialization, mnist_train.py:895-899).
+Gather scope: `np.asarray` on the sharded LaneState collects across the
+*local* devices of one process (multi-chip, single-host).  Multi-process
+(pod) runs must gather first — e.g.
+`jax.experimental.multihost_utils.process_allgather` on each LaneState
+field — before packing; rank 0 then writes the container (the reference
+analog is Horovod's rank-0-only serialization, mnist_train.py:895-899).
 """
 
 from __future__ import annotations
@@ -77,12 +80,17 @@ def pack_lanes(
     return np.concatenate(parts)
 
 
-def unpack_lanes(arr: np.ndarray, capacity: int) -> Tuple[LaneState, np.ndarray]:
+def unpack_lanes(arr: np.ndarray, capacity: Optional[int] = None
+                 ) -> Tuple[LaneState, np.ndarray]:
     """Inverse of pack_lanes -> (LaneState, meta uint32 array).
 
     The LaneState is rebuilt host-side (replicated / unsharded); callers
     reshard it onto whatever mesh the decode runs on
     (parallel.mesh.shard_lane_state) — the container is mesh-agnostic.
+
+    capacity=None sizes the buffer to the deepest packed lane plus slack:
+    decoding replays the encode sp-trajectory in reverse, so the stack never
+    grows beyond its packed depth.
     """
     arr = np.asarray(arr)
     if arr.dtype != np.uint32 or arr.ndim != 1 or arr.size < 4:
@@ -96,8 +104,16 @@ def unpack_lanes(arr: np.ndarray, capacity: int) -> Tuple[LaneState, np.ndarray]
     off = 4
     meta = arr[off : off + meta_len].copy()
     off += meta_len
+    if off + L > arr.size:
+        raise ValueError(f"container truncated: nwords table needs {off + L} "
+                         f"words, have {arr.size}")
     nwords = arr[off : off + L].astype(np.int64)
     off += L
+    # validate the full payload length up front so a truncated or corrupted
+    # container fails with ValueError, not an out-of-bounds read
+    need = off + int(nwords.sum()) + 2 * L
+    if need > arr.size:
+        raise ValueError(f"container truncated: need {need} words, have {arr.size}")
     lanes = []
     for l in range(L):
         n = int(nwords[l])
@@ -107,4 +123,6 @@ def unpack_lanes(arr: np.ndarray, capacity: int) -> Tuple[LaneState, np.ndarray]
         lanes.append(list(map(int, words)) + [(head_hi << 32) | head_lo])
     if off != arr.size:
         raise ValueError(f"container size mismatch: consumed {off} of {arr.size}")
+    if capacity is None:
+        capacity = int(nwords.max()) + 64 if L else 64
     return lane_state_from_ref_lists(lanes, capacity=capacity), meta

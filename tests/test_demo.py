@@ -72,7 +72,7 @@ def test_demo_file_roundtrip(tiny_codec, tmp_path):
     Image.fromarray(img).save(src)
 
     out = compress_file(src, out_dir=str(tmp_path), baselines=True,
-                        verbose=False, codec=tiny_codec)
+                        verbose=False, codec=tiny_codec, lanes="serial")
     assert os.path.exists(out)
     # container strictly smaller than raw (random-init model won't beat PNG,
     # but must beat raw 8 b/d on smooth synthetic data... only with a trained
@@ -97,3 +97,24 @@ def test_benchmark_compressors_roundtrippable_sizes():
         assert 0 < bd < 16, (name, bd)
     # smooth gradients compress well below raw
     assert rates["png"] < 8.0
+
+
+def test_demo_file_roundtrip_lane_parallel(tiny_codec, tmp_path):
+    """Fast mode: one image's blocks ride lanes (T = ceil(nblocks/L) codec
+    steps); container is the multi-lane format, auto-detected on decompress.
+    70x135 crops to 64x128 -> 8 blocks; lanes=3 forces padding (T=3, 9
+    slots) exercising the zero-block trim at reassembly."""
+    from PIL import Image
+
+    from bitswap_tpu.parallel.container import MAGIC
+
+    img = _structured_rgb(70, 135, 5)
+    src = str(tmp_path / "wide.png")
+    Image.fromarray(img).save(src)
+
+    out = compress_file(src, out_dir=str(tmp_path), baselines=False,
+                        verbose=False, codec=tiny_codec, lanes=3)
+    arr = np.load(out)
+    assert arr[0] == MAGIC  # lane-parallel container
+    rec = decompress_file(out, verify=True, verbose=False, codec=tiny_codec)
+    np.testing.assert_array_equal(rec, img[:64, :128])

@@ -137,12 +137,19 @@ def run_experiments(
     assert not np.any(np.asarray(state.overflow)), "stream buffer overflow"
     sps = np.asarray(sps).T  # (E, T)
 
-    # per-datapoint ELBO (the analytic optimum the codec should approach)
-    elbos = np.zeros((experiments, ndatapoints))
-    elbo_fn = jax.jit(lambda p, k, x: loss_per_sample(p, cfg, k, x))
-    for t in range(ndatapoints):
-        xb = jnp.asarray(xs_flat[t].reshape((experiments,) + cfg.xs).astype(np.float32))
-        elbos[:, t] = np.asarray(elbo_fn(params, jax.random.PRNGKey(t), xb))
+    # per-datapoint ELBO (the analytic optimum the codec should approach) —
+    # one jitted scan + one host transfer (a per-datapoint dispatch/fetch
+    # loop pays T round trips on tunneled backends)
+    def _elbo_all(p, xs_all):
+        def step(t, xt):
+            xb = xt.reshape((experiments,) + cfg.xs).astype(jnp.float32)
+            key = jax.random.fold_in(jax.random.PRNGKey(0), t)
+            return t + 1, loss_per_sample(p, cfg, key, xb)
+
+        _, out = jax.lax.scan(step, 0, xs_all)
+        return out  # (T, E)
+
+    elbos = np.asarray(jax.jit(_elbo_all)(params, xs_dev)).T
 
     prev = np.concatenate([sp0[:, None], sps[:, :-1]], axis=1)
     nets = (sps - prev) * 32.0 / cfg.xdim

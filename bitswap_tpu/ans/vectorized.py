@@ -174,15 +174,32 @@ def _append_words(state: LaneState, words, mask) -> LaneState:
     words, mask: (seq, L) — word/push-flag per symbol position in push order.
     """
     num_lanes, capacity = state.buf.shape
+    seq = words.shape[0]
     m = mask.astype(jnp.int32)
-    # target stack slot for each pushed word; capacity (out of range, mode
-    # 'drop') for unpushed positions
-    pos = jnp.cumsum(m, axis=0) - 1 + state.sp[None, :]
-    pos = jnp.where(mask, pos, capacity)
-    pos = jnp.where(pos >= capacity, capacity, pos)  # overflow -> dropped
-    lanes = jnp.arange(num_lanes)[None, :]
-    buf = state.buf.at[lanes, pos].set(words, mode="drop")
-    npush = jnp.sum(m, axis=0, dtype=jnp.int32)
+    # SCATTER-FREE append.  A scatter into the lane-sharded buffer either
+    # forces an all-gather (explicit 2-D lane indices) or lowers to a
+    # serialized per-index loop on TPU (batched/vmapped scatter) — both
+    # disastrous.  Instead: (1) compact the pushed words to the front of the
+    # window with a per-lane binary search over the cumulative push ranks;
+    # (2) rebuild the buffer as a masked gather — position c takes
+    # compact[c - sp] inside the appended span, else keeps buf[c].  All
+    # gathers carry the lane axis as a batch dim, so the op is pure
+    # elementwise+gather: fully vectorized on the VPU and partitionable
+    # over a lane-sharded mesh.
+    ranks = jnp.cumsum(m, axis=0)  # (seq, L); rank j+1 at the j-th push
+    npush = ranks[-1]  # (L,)
+    ranks_T = jnp.swapaxes(ranks, 0, 1)  # (L, seq)
+    words_T = jnp.swapaxes(words, 0, 1)
+    j = jnp.arange(seq, dtype=jnp.int32)
+    t_of_j = jax.vmap(lambda r: jnp.searchsorted(r, j + 1, side="left"))(ranks_T)
+    compact = jnp.take_along_axis(
+        words_T, jnp.minimum(t_of_j, seq - 1).astype(jnp.int32), axis=1
+    )  # (L, seq): the pushed words in push order (garbage past npush)
+    c = jnp.arange(capacity, dtype=jnp.int32)[None, :]
+    rel = c - state.sp[:, None]  # (L, capacity)
+    in_span = (rel >= 0) & (rel < npush[:, None])  # words past capacity drop
+    src = jnp.take_along_axis(compact, jnp.clip(rel, 0, seq - 1), axis=1)
+    buf = jnp.where(in_span, src, state.buf)
     overflow = state.overflow | (state.sp + npush > capacity)
     return state._replace(buf=buf, sp=state.sp + npush, overflow=overflow)
 
@@ -238,25 +255,55 @@ def ans_encode_lanes_shared(state: LaneState, cdf_shared, symbols) -> LaneState:
     return _append_words(state._replace(hi=hi, lo=lo), words, mask)
 
 
+# Decode sub-op chunk length.  The decode kernels select the next pop word
+# by a masked one-hot sum over the whole pre-gathered window — O(W) VPU work
+# per symbol.  A single window for the full op makes that O(seq^2) per op
+# (the round-2 decode gap: at xdim=3072 the scan dominates everything), so
+# the drivers below split each op into <=_DECODE_SYM_CHUNK-symbol sub-ops,
+# re-gathering a window exactly as wide as the sub-op (pops per sub-op are
+# bounded by its symbol count): O(seq * chunk) total, constant VMEM.
+_DECODE_SYM_CHUNK = 256
+
+
+def _decode_lanes_chunked(state: LaneState, seq: int, run):
+    """Shared chunked-decode driver.
+
+    run(hi, lo, window, start, n) -> (hi, lo, syms (n, L), npop (L,)) decodes
+    positions [start, start+n) (in reverse, as the kernels do).  Chunks are
+    processed last-to-first — the op-level pop order — each with a fresh
+    window gathered at the current stack pointer."""
+    hi, lo = state.hi, state.lo
+    sp, under = state.sp, state.underflow
+    parts = []
+    for start in reversed(range(0, seq, _DECODE_SYM_CHUNK)):
+        n = min(_DECODE_SYM_CHUNK, seq - start)
+        window = _pop_window(state._replace(sp=sp), n)
+        hi, lo, syms, npop = run(hi, lo, window, start, n)
+        under = under | (npop > sp)
+        sp = sp - npop
+        parts.append(syms)
+    syms_all = parts[0] if len(parts) == 1 else jnp.concatenate(parts[::-1], axis=0)
+    state = state._replace(hi=hi, lo=lo, sp=sp, underflow=under)
+    return state, jnp.swapaxes(syms_all, 0, 1)
+
+
 def ans_decode_lanes_ll(state: LaneState, cdf_ll) -> Tuple[LaneState, jnp.ndarray]:
     """Decode one symbol per position per lane from a lanes-last table
     (seq, S, L).  Returns (state, symbols (L, seq) int32)."""
-    seq = cdf_ll.shape[0]
-    window = _pop_window(state, seq)
-    hi, lo, syms, npop = _pc.decode_window(state.hi, state.lo, cdf_ll, window)
-    underflow = state.underflow | (npop > state.sp)
-    state = state._replace(hi=hi, lo=lo, sp=state.sp - npop, underflow=underflow)
-    return state, jnp.swapaxes(syms, 0, 1)
+
+    def run(hi, lo, window, start, n):
+        return _pc.decode_window(hi, lo, cdf_ll[start : start + n], window)
+
+    return _decode_lanes_chunked(state, cdf_ll.shape[0], run)
 
 
 def ans_decode_lanes_shared(state: LaneState, cdf_shared) -> Tuple[LaneState, jnp.ndarray]:
     """Decode against one lane-shared table (seq, S) uint32 (top prior)."""
-    seq = cdf_shared.shape[0]
-    window = _pop_window(state, seq)
-    hi, lo, syms, npop = _pc.decode_window_shared(state.hi, state.lo, cdf_shared, window)
-    underflow = state.underflow | (npop > state.sp)
-    state = state._replace(hi=hi, lo=lo, sp=state.sp - npop, underflow=underflow)
-    return state, jnp.swapaxes(syms, 0, 1)
+
+    def run(hi, lo, window, start, n):
+        return _pc.decode_window_shared(hi, lo, cdf_shared[start : start + n], window)
+
+    return _decode_lanes_chunked(state, cdf_shared.shape[0], run)
 
 
 # -- table-free (fused affine-CDF) lane ops -----------------------------------
@@ -277,12 +324,12 @@ def ans_decode_lanes_affine(state: LaneState, A, B, S: int, kind: str) -> Tuple[
     (state, symbols (L, seq) int32)."""
     from bitswap_tpu.ans import fused as _fz
 
-    seq = A.shape[0]
-    window = _pop_window(state, seq)
-    hi, lo, syms, npop = _fz.decode_window_affine(state.hi, state.lo, A, B, window, S, kind)
-    underflow = state.underflow | (npop > state.sp)
-    state = state._replace(hi=hi, lo=lo, sp=state.sp - npop, underflow=underflow)
-    return state, jnp.swapaxes(syms, 0, 1)
+    def run(hi, lo, window, start, n):
+        return _fz.decode_window_affine(
+            hi, lo, A[start : start + n], B[start : start + n], window, S, kind
+        )
+
+    return _decode_lanes_chunked(state, A.shape[0], run)
 
 
 # -- reference-layout wrappers (tests, golden parity) -------------------------

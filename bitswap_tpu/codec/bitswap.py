@@ -1,14 +1,35 @@
-"""Bit-Swap and BB-ANS codec drivers — fully device-resident, lane-parallel.
+"""Bit-Swap and BB-ANS codec drivers — lane-parallel, shared-executable ops.
 
 Re-design of the reference sender/receiver loops (mnist_compress.py:163-358
 and the cifar/imagenet/imagenetcrop/demo copies).  The reference ping-pongs
 between GPU (VAE pass) and CPU (per-symbol big-int ANS loop) 2*nz+1 times per
-datapoint at batch size 1; here one jitted function per datapoint performs
-every VAE pass, CDF table build, and coder scan on device, batched over L
-independent stream lanes.  A lane is one ANS stream — one reference
-"experiment" (mnist_compress.py:147) or one image's block sequence
-(imagenetcrop_compress.py:122-128) — so L images/experiments are coded in
-lockstep.
+datapoint at batch size 1; here every VAE pass, CDF table build, and coder op
+runs on device, batched over L independent stream lanes.  A lane is one ANS
+stream — one reference "experiment" (mnist_compress.py:147) or one image's
+block sequence (imagenetcrop_compress.py:122-128) — so L images/experiments
+are coded in lockstep.
+
+Architecture: ONE JITTED EXECUTABLE PER OP KIND, shared verbatim between the
+sender and the receiver, driven by a host-side loop.
+
+    Bits-back exactness requires the receiver to rebuild the encoder's CDF
+    tables BIT-FOR-BIT: the tables come from f32 conv passes, and XLA
+    compiles the "same" f32 graph to different numerics in different
+    surrounding programs (fusion/FMA/layout are context-dependent).  A
+    monolithic jitted encode scan and a separately-jitted decode scan
+    therefore silently diverge — observed on both CPU and TPU with trained
+    checkpoints (sharp posteriors hit truncation boundaries).  The only
+    construction that GUARANTEES agreement is running the identical compiled
+    program in both directions, so every model->tables computation is one
+    module-level jitted op, called with the same arguments by the encoder
+    and the decoder.  The rANS coder ops are pure uint32 integer programs —
+    exact on every backend regardless of compilation context (their one f32
+    division estimate is corrected exactly in integer arithmetic,
+    ans/vectorized.py) — so their placement is unconstrained.
+
+    Per-op host dispatch costs ~2-5 ms on a tunneled backend; a datapoint is
+    4*nz+1 ops over L lanes, so the overhead amortizes over the lane batch
+    (the reference pays a host round trip per op at batch size ONE).
 
 Coding order within a datapoint (Bit-Swap sender, mnist_compress.py:179-205):
   for zi in 0..nz-1:   DECODE z_{zi+1} under q(z_{zi+1}|·)  then
@@ -59,7 +80,7 @@ class CodecConfig:
     # table evaluation dtype: float64 reproduces the reference's compression
     # mode (mnist_compress.py:77) and is exact on CPU; float32 is the fast
     # TPU-native mode (self-consistent: encoder and decoder build identical
-    # tables from identical inputs)
+    # tables with the same shared executable)
     table_dtype: str = "float32"
     init_words: int = 10000  # mnist_compress.py:158
     capacity: int = 65536  # per-lane stream buffer words
@@ -67,18 +88,21 @@ class CodecConfig:
     # reference's torch flatten, mnist_train.py:321-335) — reference-stream
     # parity mode needs "nchw" + table_dtype="float64" + reference bins
     symbol_order: str = "nhwc"
-    # coder backend: "fused" evaluates the quantized CDF pointwise inside the
-    # kernels (table-free, binary-search decode — ans/fused.py; needs
-    # equal-width bins, which discretize_bins produces); "tables" materializes
-    # reference-quantized integer tables (exact reference semantics, required
-    # for float64 byte parity).  "auto" = fused for float32, tables for
-    # float64.
+    # coder backend: "tables" (default) materializes reference-quantized
+    # integer tables with one shared executable per op — the guaranteed-
+    # consistent mode (see module docstring).  "fused" evaluates the
+    # quantized CDF pointwise inside the coder kernels (table-free,
+    # binary-search decode — ans/fused.py): the A/B coefficient prep is a
+    # shared executable, but the sigmoid evaluations happen inside the
+    # encode and decode kernels themselves — two different programs — so
+    # exactness relies on the backend compiling both sigmoids identically.
+    # Opt-in until the search-symmetric kernels make that structural.
     coder: str = "auto"
 
     @property
     def use_fused(self) -> bool:
         if self.coder == "auto":
-            return self.table_dtype == "float32"
+            return False
         assert self.coder in ("fused", "tables"), self.coder
         return self.coder == "fused"
 
@@ -97,8 +121,134 @@ def _flatten_perm(shape, from_order: str) -> np.ndarray:
     return np.arange(h * w * c).reshape(c, h, w).transpose(1, 2, 0).ravel()
 
 
+def _unflatten(flat, shape, order: str):
+    """(L, prod(shape)) symbol-order-flat values -> (L,) + NHWC shape."""
+    if order == "nhwc":
+        return flat.reshape((-1,) + shape)
+    h, w, c = shape
+    return jnp.transpose(flat.reshape(-1, c, h, w), (0, 2, 3, 1))
+
+
+def _flatten(img, order: str):
+    """(L,) + NHWC shape -> (L, dim) in the configured symbol order."""
+    if order == "nhwc":
+        return img.reshape(img.shape[0], -1)
+    return jnp.transpose(img, (0, 3, 1, 2)).reshape(img.shape[0], -1)
+
+
+def _centre_gather(centres, sym):
+    """(dim, S) value table, (L, dim) symbol indices -> (L, dim) values."""
+    return centres[jnp.arange(centres.shape[0])[None, :], sym]
+
+
+def _model_mu_scale(cfg: VAEConfig, order: str, direction: str, zi: int,
+                    params, given_vals):
+    """The compress-mode model bridge (mnist_train.py:321-377): flat bin-
+    centre values in, flattened (mu, scale) out, conv pass in float32."""
+    shape = cfg.xs if (direction == "infer" and zi == 0) else cfg.zshape
+    given = _unflatten(given_vals.astype(jnp.float32), shape, order)
+    if direction == "infer":
+        mu, scale = infer_apply(params, cfg, zi, given)
+    else:
+        mu, scale = generate_apply(params, cfg, zi, given)
+    return _flatten(mu, order), _flatten(scale, order)
+
+
+# ---------------------------------------------------------------------------
+# shared executables
+#
+# Module-level jitted functions: jax.jit caches by (static args, arg shapes),
+# so the encoder and decoder — and multiple Codec instances over the same
+# (params, bins), e.g. the Bit-Swap and BB-ANS sweeps of one experiment —
+# all hit the same compiled program.  `centres_in` carries the conditioning
+# value table (pixel bins at the bottom, z bins above); `endpoints_out`
+# carries the output layer's bin endpoints.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _model_op(cfg: VAEConfig, order: str, direction: str, zi: int,
+              in_is_x: bool, params, sym, centres_in):
+    """Conditioning-value gather + model pass for one coder op.
+
+    sym: (L, dim_in) int32 symbols conditioning the pass; centres_in maps
+    them to values ((256,) pixel centres when in_is_x else (dim_in, S)).
+    Returns flattened (mu, scale), each (L, dim_out).
+    """
+    given = centres_in[sym] if in_is_x else _centre_gather(centres_in, sym)
+    return _model_mu_scale(cfg, order, direction, zi, params, given)
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def _build_tab_op(mu, scale, endpoints_out, quantbits_out: int):
+    """Lanes-last integer CDF table build from per-lane Logistic params.
+
+    endpoints_out: (dim_out, S_out - 1) bin endpoints in the table dtype.
+    Returns (dim_out, S_out, L) uint32 — build_tables_ll layout."""
+    dt = endpoints_out.dtype
+    mu_ll = jnp.swapaxes(mu.astype(dt), 0, 1)[:, None, :]
+    scale_ll = jnp.swapaxes(scale.astype(dt), 0, 1)[:, None, :]
+    cdfs = logistic_cdf(endpoints_out[:, :, None], mu_ll, scale_ll)
+    return build_tables_ll(cdfs, quantbits_out)
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def _ab_from_op(mu, scale, e0, w, kind: str):
+    """Fused-mode analog of _build_tab_op: sigmoid-argument coefficients
+    A, B (each (dim_out, L) f32 lanes-last) for arg(v) = A + B*e(v)
+    (ans/fused.py).  e0, w: (dim_out,) equal-width bin origin/step (unused
+    for kind="logit")."""
+    mu = mu.astype(jnp.float32)
+    scale = scale.astype(jnp.float32)
+    if kind == "logit":
+        A, B = -mu / scale, 1.0 / scale
+    else:
+        A = (e0[None, :] - w[None, :] - mu) / scale
+        B = w[None, :] / scale
+    return jnp.swapaxes(A, 0, 1), jnp.swapaxes(B, 0, 1)
+
+
+# integer coder ops — exact in any program; jitted once per table shape.
+# Decode ops fold the running min-stack-pointer in (the demo codec's
+# `excess_state_len` tracker, demo_compress.py:113-137: the stack only
+# shrinks during decodes, so the global minimum occurs at a decode boundary).
+
+
+@jax.jit
+def _dec_op(state: LaneState, tables, msp):
+    state, syms = ans_decode_lanes_ll(state, tables)
+    return state, syms, jnp.minimum(msp, state.sp)
+
+
+@jax.jit
+def _enc_op(state: LaneState, tables, syms):
+    return ans_encode_lanes_ll(state, tables, syms)
+
+
+@jax.jit
+def _dec_shared_op(state: LaneState, table, msp):
+    state, syms = ans_decode_lanes_shared(state, table)
+    return state, syms, jnp.minimum(msp, state.sp)
+
+
+@jax.jit
+def _enc_shared_op(state: LaneState, table, syms):
+    return ans_encode_lanes_shared(state, table, syms)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _dec_affine_op(state: LaneState, A, B, msp, S: int, kind: str):
+    state, syms = ans_decode_lanes_affine(state, A, B, S, kind)
+    return state, syms, jnp.minimum(msp, state.sp)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _enc_affine_op(state: LaneState, A, B, syms, S: int, kind: str):
+    return ans_encode_lanes_affine(state, A, B, S, kind, syms)
+
+
 class Codec:
-    """Jitted encode/decode closures over (params, bins).
+    """Host-driven encode/decode over shared per-op executables.
 
     encode_datapoints(state, xs (T, L, xdim) int32) -> state
     decode_datapoints(state, T) -> (state, xs (T, L, xdim) int32)  [reverse order]
@@ -156,9 +306,13 @@ class Codec:
                 )
             self._z_e0 = jnp.asarray(ze32[..., 0])  # (nz, zdim)
             self._z_w = jnp.asarray(w_np)
+            self._z_e0_rows = [self._z_e0[i] for i in range(cfg.nz)]
+            self._z_w_rows = [self._z_w[i] for i in range(cfg.nz)]
             # pixel bins (rand.py:134-153): e(j) = ((j+1)-127.5)/127.5 - 1/255
-            self._x_w = float(1.0 / 127.5)
-            self._x_e0 = float((1.0 - 127.5) / 127.5 - 1.0 / 255.0)
+            xw = 1.0 / 127.5
+            xe0 = (1.0 - 127.5) / 127.5 - 1.0 / 255.0
+            self._x_e0 = jnp.full((cfg.xdim,), xe0, jnp.float32)
+            self._x_w = jnp.full((cfg.xdim,), xw, jnp.float32)
 
         # All remaining static device prep in ONE jitted program (eager ops
         # are prohibitively slow on tunneled backends — one compile instead
@@ -176,212 +330,124 @@ class Codec:
             jnp.asarray(zend[cfg.nz - 1], dt)
         )
 
-        self._encode_jit = jax.jit(self._encode_seq)
-        self._encode_counts_jit = jax.jit(self._encode_seq_counts)
-        self._encode_minsp_jit = jax.jit(self._encode_seq_minsp)
-        self._decode_jit = jax.jit(self._decode_seq, static_argnums=(1,))
-        self._rest_sp_jit = jax.jit(self._rest_sp)
+        # per-layer rows sliced ONCE: indexing a device array is an eager
+        # dispatch (several ms each on a tunneled backend), and the drivers
+        # touch these 2-3 times per coder op
+        self._zend_rows = [self.zendpoints[i] for i in range(cfg.nz)]
+        self._zcen_rows = [self.zcentres[i] for i in range(cfg.nz)]
+        self._xend_rows = jnp.broadcast_to(
+            self.xendpoints[None, :], (cfg.xdim, self.xendpoints.shape[0])
+        ) + jnp.zeros((), dt)  # materialize once (broadcast_to alone is lazy)
 
-    # -- table builders ----------------------------------------------------
+    # -- op dispatch ---------------------------------------------------------
+    #
+    # Every (direction, zi) coder op is one _tab_op (or _ab_op) executable
+    # call followed by one integer coder op.  direction="infer" at zi
+    # produces the q(z_{zi+1}|·) tables (decode on the sender, encode on the
+    # receiver); direction="generate" at zi produces the p(z_{zi-1}|z_zi) —
+    # or p(x|z_1) at zi=0 — tables.
 
-    def _z_tables(self, zi: int, mu, scale):
-        """Lanes-last (zdim, S, L) uint32 cdf tables for latent layer zi
-        given the per-lane conditional Logistic params (each (L, zdim)) —
-        built directly in the Pallas coder's streaming layout so the large
-        table is never transposed."""
-        dt = self.zendpoints.dtype
-        mu_ll = jnp.swapaxes(mu.astype(dt), 0, 1)[:, None, :]
-        scale_ll = jnp.swapaxes(scale.astype(dt), 0, 1)[:, None, :]
-        cdfs = logistic_cdf(self.zendpoints[zi][:, :, None], mu_ll, scale_ll)
-        return build_tables_ll(cdfs, self.ccfg.quantbits)
-
-    def _x_tables(self, mu, scale):
-        """Lanes-last (xdim, 256, L) uint32 cdf tables for the pixel layer
-        (quantbits=8, mnist_compress.py:203)."""
-        dt = self.xendpoints.dtype
-        mu_ll = jnp.swapaxes(mu.astype(dt), 0, 1)[:, None, :]
-        scale_ll = jnp.swapaxes(scale.astype(dt), 0, 1)[:, None, :]
-        cdfs = logistic_cdf(self.xendpoints[None, :, None], mu_ll, scale_ll)
-        return build_tables_ll(cdfs, 8)
-
-    # -- coder op dispatch (fused affine-CDF vs materialized tables) --------
-
-    def _z_kind(self, zi: int) -> str:
-        # top layer bins are equal-mass under the Logistic(0,1) prior
-        # (discretization.py:25-27) -> analytic logit endpoints
-        return "logit" if zi == self.ccfg.model.nz - 1 else "linear"
-
-    def _z_AB(self, zi: int, mu, scale):
-        """Sigmoid-argument coefficients for latent layer zi: arg(v) =
-        A + B*e(v) with e linear or logit (ans/fused.py).  mu, scale (L,
-        zdim) -> A, B (zdim, L) f32 lanes-last."""
-        mu = mu.astype(jnp.float32)
-        scale = scale.astype(jnp.float32)
-        if self._z_kind(zi) == "logit":
-            A, B = -mu / scale, 1.0 / scale
+    def _op_kinds(self, direction: str, zi: int):
+        """(in_is_x, centres_in, endpoints_out, quantbits_out, fused kind,
+        e0, w) for one op."""
+        cfg = self.ccfg.model
+        if direction == "infer":
+            in_is_x = zi == 0
+            centres_in = self.xcentres if in_is_x else self._zcen_rows[zi - 1]
+            endpoints_out = self._zend_rows[zi]
+            qb_out = self.ccfg.quantbits
+            kind = "logit" if zi == cfg.nz - 1 else "linear"
+            e0 = self._z_e0_rows[zi] if self.ccfg.use_fused else None
+            w = self._z_w_rows[zi] if self.ccfg.use_fused else None
         else:
-            e0, w = self._z_e0[zi], self._z_w[zi]  # (zdim,)
-            A = (e0[None, :] - w[None, :] - mu) / scale
-            B = w[None, :] / scale
-        return jnp.swapaxes(A, 0, 1), jnp.swapaxes(B, 0, 1)
+            in_is_x = False
+            centres_in = self._zcen_rows[zi]
+            if zi == 0:
+                endpoints_out = self._xend_rows
+                qb_out = 8
+                kind = "linear"
+                e0 = self._x_e0 if self.ccfg.use_fused else None
+                w = self._x_w if self.ccfg.use_fused else None
+            else:
+                endpoints_out = self._zend_rows[zi - 1]
+                qb_out = self.ccfg.quantbits
+                kind = "logit" if zi - 1 == cfg.nz - 1 else "linear"
+                e0 = self._z_e0_rows[zi - 1] if self.ccfg.use_fused else None
+                w = self._z_w_rows[zi - 1] if self.ccfg.use_fused else None
+        return in_is_x, centres_in, endpoints_out, qb_out, kind, e0, w
 
-    def _x_AB(self, mu, scale):
-        mu = mu.astype(jnp.float32)
-        scale = scale.astype(jnp.float32)
-        A = (self._x_e0 - self._x_w - mu) / scale
-        B = self._x_w / scale
-        return jnp.swapaxes(A, 0, 1), jnp.swapaxes(B, 0, 1)
+    def _mu_scale(self, direction: str, zi: int, sym_in):
+        """The model bridge for one coder op — overridable injection point
+        (tests replay recorded reference (mu, scale) feeds through here)."""
+        in_is_x, cin, _, _, _, _, _ = self._op_kinds(direction, zi)
+        return _model_op(self.ccfg.model, self.ccfg.symbol_order, direction,
+                         zi, in_is_x, self._params, sym_in, cin)
 
-    def _decode_z(self, state, zi, mu, scale):
+    def _dec(self, state, direction, zi, sym_in, msp):
+        """Decode one symbol vector under the (direction, zi) model op."""
+        _, _, eout, qb, kind, e0, w = self._op_kinds(direction, zi)
+        mu, scale = self._mu_scale(direction, zi, sym_in)
         if self.ccfg.use_fused:
-            A, B = self._z_AB(zi, mu, scale)
-            return ans_decode_lanes_affine(state, A, B, self.ccfg.zsupport, self._z_kind(zi))
-        return ans_decode_lanes_ll(state, self._z_tables(zi, mu, scale))
+            A, B = _ab_from_op(mu, scale, e0, w, kind)
+            S = 256 if (direction == "generate" and zi == 0) else self.ccfg.zsupport
+            return _dec_affine_op(state, A, B, msp, S, kind)
+        return _dec_op(state, _build_tab_op(mu, scale, eout, qb), msp)
 
-    def _encode_z(self, state, zi, mu, scale, sym):
+    def _enc(self, state, direction, zi, sym_in, syms):
+        """Encode `syms` under the (direction, zi) model op."""
+        _, _, eout, qb, kind, e0, w = self._op_kinds(direction, zi)
+        mu, scale = self._mu_scale(direction, zi, sym_in)
         if self.ccfg.use_fused:
-            A, B = self._z_AB(zi, mu, scale)
-            return ans_encode_lanes_affine(state, A, B, self.ccfg.zsupport, self._z_kind(zi), sym)
-        return ans_encode_lanes_ll(state, self._z_tables(zi, mu, scale), sym)
-
-    def _decode_x(self, state, mu, scale):
-        if self.ccfg.use_fused:
-            A, B = self._x_AB(mu, scale)
-            return ans_decode_lanes_affine(state, A, B, 256, "linear")
-        return ans_decode_lanes_ll(state, self._x_tables(mu, scale))
-
-    def _encode_x(self, state, mu, scale, x):
-        if self.ccfg.use_fused:
-            A, B = self._x_AB(mu, scale)
-            return ans_encode_lanes_affine(state, A, B, 256, "linear", x)
-        return ans_encode_lanes_ll(state, self._x_tables(mu, scale), x)
-
-    # -- model bridging ----------------------------------------------------
-
-    def _unflatten(self, flat, shape):
-        """(L, prod(shape)) symbol-order-flat values -> (L,) + NHWC shape."""
-        if self.ccfg.symbol_order == "nhwc":
-            return flat.reshape((-1,) + shape)
-        h, w, c = shape
-        return jnp.transpose(flat.reshape(-1, c, h, w), (0, 2, 3, 1))
-
-    def _flatten(self, img):
-        """(L,) + NHWC shape -> (L, dim) in the configured symbol order."""
-        if self.ccfg.symbol_order == "nhwc":
-            return img.reshape(img.shape[0], -1)
-        return jnp.transpose(img, (0, 3, 1, 2)).reshape(img.shape[0], -1)
-
-    def _infer(self, zi: int, given_flat):
-        """given_flat: (L, xdim or zdim) bin-centre values; returns flattened
-        (mu, scale) each (L, zdim).  The cast mirrors the reference's
-        compress-mode float64->float32->float64 bridge (mnist_train.py:
-        321-377)."""
-        cfg = self.ccfg.model
-        given = self._unflatten(
-            given_flat.astype(jnp.float32), cfg.xs if zi == 0 else cfg.zshape
-        )
-        mu, scale = infer_apply(self._params, cfg, zi, given)
-        return self._flatten(mu), self._flatten(scale)
-
-    def _generate(self, zi: int, z_flat):
-        cfg = self.ccfg.model
-        given = self._unflatten(z_flat.astype(jnp.float32), cfg.zshape)
-        mu, scale = generate_apply(self._params, cfg, zi, given)
-        return self._flatten(mu), self._flatten(scale)
-
-    def _zcentre_lookup(self, zi: int, sym):
-        """(L, zdim) bin centres for symbol indices sym (L, zdim)."""
-        zdim = sym.shape[1]
-        return self.zcentres[zi][jnp.arange(zdim)[None, :], sym]
+            A, B = _ab_from_op(mu, scale, e0, w, kind)
+            S = 256 if (direction == "generate" and zi == 0) else self.ccfg.zsupport
+            return _enc_affine_op(state, A, B, syms, S, kind)
+        return _enc_op(state, _build_tab_op(mu, scale, eout, qb), syms)
 
     # -- single-datapoint sender/receiver -----------------------------------
 
-    def _encode_one(self, state: LaneState, x, min_sp=None):
+    def _encode_one(self, state: LaneState, x, msp):
         """x: (L, xdim) int32 pixels.  Bit-Swap: mnist_compress.py:179-205;
-        BB-ANS: :209-243; shared prior encode: :246-251.
-
-        When `min_sp` (L,) int32 is given, it is folded with the stack
-        pointer after every decode op — the reference demo's
-        `excess_state_len` tracker (demo_compress.py:113-137: the stack only
-        shrinks during decodes, so the global minimum occurs at a
-        decode-op boundary) — and (state, min_sp) is returned."""
+        BB-ANS: :209-243; shared prior encode: :246-251.  Threads the
+        min-stack-pointer through every decode op."""
         nz = self.ccfg.model.nz
-        num_lanes = x.shape[0]
-
-        def infer_decode(zi, zsym):
-            given = self.xcentres[x] if zi == 0 else self._zcentre_lookup(zi - 1, zsym)
-            mu, scale = self._infer(zi, given)
-            st, sym = self._decode_z(state_ref[0], zi, mu, scale)
-            if min_sp_ref[0] is not None:
-                min_sp_ref[0] = jnp.minimum(min_sp_ref[0], st.sp)
-            return st, sym
-
-        def generate_encode(zi, zsymtop, zsym):
-            zc = self._zcentre_lookup(zi, zsymtop)
-            mu, scale = self._generate(zi, zc)
-            if zi == 0:
-                return self._encode_x(state_ref[0], mu, scale, x)
-            return self._encode_z(state_ref[0], zi - 1, mu, scale, zsym)
-
-        state_ref = [state]
-        min_sp_ref = [min_sp]
         if self.ccfg.bitswap:
             zsym = None
             for zi in range(nz):
-                st, zsymtop = infer_decode(zi, zsym)
-                state_ref[0] = st
-                state_ref[0] = generate_encode(zi, zsymtop, zsym)
+                given = x if zi == 0 else zsym
+                state, zsymtop, msp = self._dec(state, "infer", zi, given, msp)
+                syms = x if zi == 0 else zsym
+                state = self._enc(state, "generate", zi, zsymtop, syms)
                 zsym = zsymtop
+            state = _enc_shared_op(state, self.prior_cdf_table, zsym)
         else:
             zs: List[jnp.ndarray] = []
-            zsym = None
+            prev = x
             for zi in range(nz):
-                st, zsymtop = infer_decode(zi, zsym)
-                state_ref[0] = st
+                state, zsymtop, msp = self._dec(state, "infer", zi, prev, msp)
                 zs.append(zsymtop)
-                zsym = zsymtop
+                prev = zsymtop
             for zi in range(nz):
-                zsymtop = zs[zi]
-                prev = x if zi == 0 else zs[zi - 1]
-                state_ref[0] = generate_encode(zi, zsymtop, None if zi == 0 else prev)
+                syms = x if zi == 0 else zs[zi - 1]
+                state = self._enc(state, "generate", zi, zs[zi], syms)
+            state = _enc_shared_op(state, self.prior_cdf_table, zs[-1])
+        return state, msp
 
-        # encode the top sample under the (lane-shared) prior
-        out = ans_encode_lanes_shared(
-            state_ref[0], self.prior_cdf_table, zsym if self.ccfg.bitswap else zs[-1]
-        )
-        if min_sp is not None:
-            return out, min_sp_ref[0]
-        return out
-
-    def _decode_one(self, state: LaneState, num_lanes: int) -> Tuple[LaneState, jnp.ndarray]:
+    def _decode_one(self, state: LaneState, msp) -> Tuple[LaneState, jnp.ndarray, jnp.ndarray]:
         """Receiver for one datapoint (mnist_compress.py:284-354).  Returns
-        (state, x (L, xdim) int32)."""
+        (state, x (L, xdim) int32, msp)."""
         nz = self.ccfg.model.nz
-        state, zsymtop = ans_decode_lanes_shared(state, self.prior_cdf_table)
+        state, zsymtop, msp = _dec_shared_op(state, self.prior_cdf_table, msp)
 
         if self.ccfg.bitswap:
             for zi in reversed(range(nz)):
-                zc = self._zcentre_lookup(zi, zsymtop)
-                mu, scale = self._generate(zi, zc)
-                if zi == 0:
-                    state, sym = self._decode_x(state, mu, scale)
-                    given = self.xcentres[sym]
-                else:
-                    state, sym = self._decode_z(state, zi - 1, mu, scale)
-                    given = self._zcentre_lookup(zi - 1, sym)
-                mu, scale = self._infer(zi, given)
-                state = self._encode_z(state, zi, mu, scale, zsymtop)
+                state, sym, msp = self._dec(state, "generate", zi, zsymtop, msp)
+                state = self._enc(state, "infer", zi, sym, zsymtop)
                 zsymtop = sym
-            return state, zsymtop
+            return state, zsymtop, msp
         else:
             zs = [zsymtop]
             for zi in reversed(range(nz)):
-                zc = self._zcentre_lookup(zi, zsymtop)
-                mu, scale = self._generate(zi, zc)
-                if zi == 0:
-                    state, sym = self._decode_x(state, mu, scale)
-                else:
-                    state, sym = self._decode_z(state, zi - 1, mu, scale)
+                state, sym, msp = self._dec(state, "generate", zi, zsymtop, msp)
                 zs.append(sym)
                 zsymtop = sym
             x = zs[-1]
@@ -389,80 +455,41 @@ class Codec:
             # (mnist_compress.py:339-352)
             zsymtop = zs[0]
             for zi in reversed(range(nz)):
-                sym = zs[nz - zi]  # z_zi (or x when zi == 0... see below)
-                given = self.xcentres[x] if zi == 0 else self._zcentre_lookup(zi - 1, sym)
-                mu, scale = self._infer(zi, given)
-                state = self._encode_z(state, zi, mu, scale, zsymtop)
+                sym = zs[nz - zi]  # z_{zi-1}, or x when zi == 0
+                given = x if zi == 0 else sym
+                state = self._enc(state, "infer", zi, given, zsymtop)
                 zsymtop = sym
-            return state, x
-
-    # -- sequence drivers ----------------------------------------------------
-
-    def _encode_seq(self, state: LaneState, xs):
-        """xs: (T, L, xdim) int32 — scan the sender over datapoints."""
-
-        def step(st, x):
-            return self._encode_one(st, x), None
-
-        state, _ = jax.lax.scan(step, state, xs)
-        return state
-
-    def _encode_seq_counts(self, state: LaneState, xs):
-        """Like _encode_seq but also returns the per-datapoint stack pointers
-        (T, L) — the experiment harness derives the reference's `nets`/`cma`
-        metrics from these (mnist_compress.py:254-260)."""
-
-        def step(st, x):
-            st2 = self._encode_one(st, x)
-            return st2, st2.sp
-
-        state, sps = jax.lax.scan(step, state, xs)
-        return state, sps
-
-    def _encode_seq_minsp(self, state: LaneState, xs):
-        """Like _encode_seq but threads the per-lane minimum stack pointer
-        reached at any decode-op boundary through the scan — the demo
-        codec's initial-bits trim count (demo_compress.py:113-160: words
-        below the minimum were never consumed, so they can be dropped from
-        the container)."""
-
-        def step(carry, x):
-            st, msp = carry
-            st2, msp2 = self._encode_one(st, x, min_sp=msp)
-            return (st2, msp2), None
-
-        (state, min_sp), _ = jax.lax.scan(step, (state, state.sp), xs)
-        return state, min_sp
-
-    def _rest_sp(self, state: LaneState, x):
-        """Stack pointer right after the first decode op(s) of the first
-        datapoint — the reference's `restbits` snapshot used to discount
-        unconsumed initial bits (mnist_compress.py:190-193 Bit-Swap;
-        :225-227 BB-ANS takes it after ALL nz decodes)."""
-        nz = self.ccfg.model.nz
-        given = self.xcentres[x]
-        mu, scale = self._infer(0, given)
-        st, zsymtop = self._decode_z(state, 0, mu, scale)
-        if not self.ccfg.bitswap:
-            for zi in range(1, nz):
-                given = self._zcentre_lookup(zi - 1, zsymtop)
-                mu, scale = self._infer(zi, given)
-                st, zsymtop = self._decode_z(st, zi, mu, scale)
-        return st.sp
-
-    def _decode_seq(self, state: LaneState, num_datapoints: int):
-        num_lanes = state.buf.shape[0]
-
-        def step(st, _):
-            st, x = self._decode_one(st, num_lanes)
-            return st, x
-
-        state, xs = jax.lax.scan(step, state, None, length=num_datapoints)
-        # receiver pops datapoints in reverse encode order (LIFO,
-        # mnist_compress.py:278); return them in natural order
-        return state, xs[::-1]
+            return state, x, msp
 
     # -- public API ----------------------------------------------------------
+
+    def replicate_aux(self, mesh) -> "Codec":
+        """Replicate the codec's bin/table constants over `mesh`.
+
+        The host-loop drivers pass these as ARGUMENTS to the shared ops; when
+        the lane state and params are committed to a multi-device mesh, every
+        co-argument must be committed compatibly (replicated), or jit rejects
+        the mixed device sets.  Call once after `make_codec` when running on
+        a mesh (parallel/mesh.py callers)."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        rep = NamedSharding(mesh, PartitionSpec())
+
+        def put(x):
+            return jax.device_put(x, rep)
+
+        for name in ("zendpoints", "zcentres", "xendpoints", "xcentres",
+                     "prior_cdf_table", "_xend_rows"):
+            setattr(self, name, put(getattr(self, name)))
+        self._zend_rows = [put(x) for x in self._zend_rows]
+        self._zcen_rows = [put(x) for x in self._zcen_rows]
+        self._params = jax.tree_util.tree_map(put, self._params)
+        if self.ccfg.use_fused:
+            self._z_e0, self._z_w = put(self._z_e0), put(self._z_w)
+            self._z_e0_rows = [put(x) for x in self._z_e0_rows]
+            self._z_w_rows = [put(x) for x in self._z_w_rows]
+            self._x_e0, self._x_w = put(self._x_e0), put(self._x_w)
+        return self
 
     def init_state(self, num_lanes: int, seed: int = 100) -> LaneState:
         return init_lane_state(
@@ -474,24 +501,53 @@ class Codec:
 
     def encode_datapoints(self, state: LaneState, xs) -> LaneState:
         """xs: (T, L, xdim) int32."""
-        return self._encode_jit(state, xs)
+        msp = state.sp
+        for t in range(xs.shape[0]):
+            state, msp = self._encode_one(state, jnp.asarray(xs[t]), msp)
+        return state
 
     def encode_datapoints_with_counts(self, state: LaneState, xs):
-        """Returns (state, sp_per_datapoint (T, L) int32)."""
-        return self._encode_counts_jit(state, xs)
+        """Returns (state, sp_per_datapoint (T, L) int32) — the experiment
+        harness derives the reference's `nets`/`cma` metrics from these
+        (mnist_compress.py:254-260)."""
+        msp = state.sp
+        sps = []
+        for t in range(xs.shape[0]):
+            state, msp = self._encode_one(state, jnp.asarray(xs[t]), msp)
+            sps.append(state.sp)
+        return state, jnp.stack(sps)
 
     def encode_datapoints_with_min_sp(self, state: LaneState, xs):
         """Returns (state, min_sp (L,) int32) — min_sp words at the bottom of
         each lane's stack were never consumed and may be trimmed from the
         serialized container (demo_compress.py:160)."""
-        return self._encode_minsp_jit(state, xs)
+        msp = state.sp
+        for t in range(xs.shape[0]):
+            state, msp = self._encode_one(state, jnp.asarray(xs[t]), msp)
+        return state, msp
 
     def rest_sp(self, state: LaneState, x0):
-        """The reference's `restbits` stack pointer (see _rest_sp)."""
-        return self._rest_sp_jit(state, x0)
+        """Stack pointer right after the first decode op(s) of the first
+        datapoint — the reference's `restbits` snapshot used to discount
+        unconsumed initial bits (mnist_compress.py:190-193 Bit-Swap;
+        :225-227 BB-ANS takes it after ALL nz decodes)."""
+        nz = self.ccfg.model.nz
+        msp = state.sp
+        st, zsymtop, msp = self._dec(state, "infer", 0, jnp.asarray(x0), msp)
+        if not self.ccfg.bitswap:
+            for zi in range(1, nz):
+                st, zsymtop, msp = self._dec(st, "infer", zi, zsymtop, msp)
+        return st.sp
 
     def decode_datapoints(self, state: LaneState, num_datapoints: int):
-        return self._decode_jit(state, num_datapoints)
+        """Returns (state, xs (T, L, xdim) int32) in natural (encode) order —
+        the receiver pops datapoints LIFO (mnist_compress.py:278)."""
+        msp = state.sp
+        xs = []
+        for _ in range(num_datapoints):
+            state, x, msp = self._decode_one(state, msp)
+            xs.append(x)
+        return state, jnp.stack(xs[::-1])
 
 
 def make_codec(params, ccfg: CodecConfig, bins: DiscretizationBins) -> Codec:

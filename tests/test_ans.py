@@ -165,7 +165,10 @@ class TestVectorizedVsReference:
             assert got[i] == want, f"lane {i} stream mismatch"
 
     @pytest.mark.parametrize(
-        "seq_len,support,quantbits", [(64, 256, 8), (128, 1024, 10)]
+        "seq_len,support,quantbits",
+        # 600 exercises the chunked-window decode driver (three sub-ops, one
+        # ragged) — the chunk seam must be invisible in the symbol stream
+        [(64, 256, 8), (128, 1024, 10), (600, 256, 8)],
     )
     def test_decode_bitexact(self, seq_len, support, quantbits):
         rng = np.random.default_rng(21)

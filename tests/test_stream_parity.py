@@ -346,11 +346,15 @@ class _InjectedCodec(Codec):
         return (jnp.asarray(mu, jnp.float64)[None],
                 jnp.asarray(scale, jnp.float64)[None])
 
-    def _infer(self, zi, given_flat):
-        return self._next("infer", zi, given_flat)
-
-    def _generate(self, zi, z_flat):
-        return self._next("generate", zi, z_flat)
+    def _mu_scale(self, direction, zi, sym_in):
+        # mirror the production hook's gather so the recorded-feed check
+        # still sees the `given` VALUES the model would have received
+        in_is_x, cin = self._op_kinds(direction, zi)[:2]
+        if in_is_x:
+            given = cin[sym_in]
+        else:
+            given = cin[jnp.arange(cin.shape[0])[None, :], sym_in]
+        return self._next(direction, zi, given)
 
 
 def _our_codec(ref_bins, bitswap):
@@ -383,7 +387,7 @@ def test_stream_byte_parity(ref_model, ref_bins, datapoints, bitswap):
         np.asarray(_initial_state(), dtype=object))
     xs = jnp.asarray(datapoints.astype(np.int32))[:, None, :]  # (T, 1, xdim)
     for t in range(T):
-        st = codec._encode_one(st, xs[t])
+        st, _ = codec._encode_one(st, xs[t], st.sp)
     assert codec._cursor == len(feed), "our driver made fewer model calls"
     assert not bool(np.asarray(st.overflow).any())
 
@@ -404,7 +408,7 @@ def test_stream_byte_parity(ref_model, ref_bins, datapoints, bitswap):
     dst = lane_state_from_ref_lists([list(ref_state)], capacity=4096)
     out = []
     for _ in range(T):
-        dst, x = dcodec._decode_one(dst, 1)
+        dst, x, _ = dcodec._decode_one(dst, dst.sp)
         out.append(np.asarray(x)[0])
     assert dcodec._cursor == len(rfeed)
     np.testing.assert_array_equal(np.stack(out[::-1]), datapoints)

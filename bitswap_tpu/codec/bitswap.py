@@ -88,6 +88,12 @@ class CodecConfig:
     # reference's torch flatten, mnist_train.py:321-335) — reference-stream
     # parity mode needs "nchw" + table_dtype="float64" + reference bins
     symbol_order: str = "nhwc"
+    # model-pass precision: "bfloat16" runs the conv passes on the MXU's
+    # native dtype (2x the f32 flops, half the weight traffic).  Exactness
+    # is unaffected — the pass is the same shared executable in both
+    # directions — only the rate moves (coarser mu/scale vs the f32-built
+    # bins; measured ~0.01 b/d on the bench distribution).
+    compute_dtype: str = "float32"
     # coder backend: "tables" (default) materializes reference-quantized
     # integer tables with one shared executable per op — the guaranteed-
     # consistent mode (see module docstring).  "fused" evaluates the
@@ -142,15 +148,18 @@ def _centre_gather(centres, sym):
 
 
 def _model_mu_scale(cfg: VAEConfig, order: str, direction: str, zi: int,
-                    params, given_vals):
+                    params, given_vals, compute_dtype=jnp.float32):
     """The compress-mode model bridge (mnist_train.py:321-377): flat bin-
-    centre values in, flattened (mu, scale) out, conv pass in float32."""
+    centre values in, flattened (mu, scale) out, conv pass in
+    `compute_dtype` (float32, or bfloat16 fast mode), results in float32."""
     shape = cfg.xs if (direction == "infer" and zi == 0) else cfg.zshape
-    given = _unflatten(given_vals.astype(jnp.float32), shape, order)
+    given = _unflatten(given_vals.astype(compute_dtype), shape, order)
     if direction == "infer":
         mu, scale = infer_apply(params, cfg, zi, given)
     else:
         mu, scale = generate_apply(params, cfg, zi, given)
+    mu = mu.astype(jnp.float32)
+    scale = scale.astype(jnp.float32)
     return _flatten(mu, order), _flatten(scale, order)
 
 
@@ -166,17 +175,18 @@ def _model_mu_scale(cfg: VAEConfig, order: str, direction: str, zi: int,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
 def _model_op(cfg: VAEConfig, order: str, direction: str, zi: int,
-              in_is_x: bool, params, sym, centres_in):
+              in_is_x: bool, compute_dtype: str, params, sym, centres_in):
     """Conditioning-value gather + model pass for one coder op.
 
     sym: (L, dim_in) int32 symbols conditioning the pass; centres_in maps
     them to values ((256,) pixel centres when in_is_x else (dim_in, S)).
-    Returns flattened (mu, scale), each (L, dim_out).
+    Returns flattened (mu, scale), each (L, dim_out) float32.
     """
     given = centres_in[sym] if in_is_x else _centre_gather(centres_in, sym)
-    return _model_mu_scale(cfg, order, direction, zi, params, given)
+    return _model_mu_scale(cfg, order, direction, zi, params, given,
+                           jnp.dtype(compute_dtype))
 
 
 @functools.partial(jax.jit, static_argnums=(3,))
@@ -330,6 +340,16 @@ class Codec:
             jnp.asarray(zend[cfg.nz - 1], dt)
         )
 
+        # model-pass weights in the compute dtype (bf16 fast mode halves the
+        # weight traffic and doubles MXU throughput); ONE jitted cast
+        if ccfg.compute_dtype == "float32":
+            self._params_compute = params
+        else:
+            cdt = jnp.dtype(ccfg.compute_dtype)
+            self._params_compute = jax.jit(
+                lambda p: jax.tree_util.tree_map(lambda x: x.astype(cdt), p)
+            )(params)
+
         # per-layer rows sliced ONCE: indexing a device array is an eager
         # dispatch (several ms each on a tunneled backend), and the drivers
         # touch these 2-3 times per coder op
@@ -381,7 +401,8 @@ class Codec:
         (tests replay recorded reference (mu, scale) feeds through here)."""
         in_is_x, cin, _, _, _, _, _ = self._op_kinds(direction, zi)
         return _model_op(self.ccfg.model, self.ccfg.symbol_order, direction,
-                         zi, in_is_x, self._params, sym_in, cin)
+                         zi, in_is_x, self.ccfg.compute_dtype,
+                         self._params_compute, sym_in, cin)
 
     def _dec(self, state, direction, zi, sym_in, msp):
         """Decode one symbol vector under the (direction, zi) model op."""
@@ -483,7 +504,11 @@ class Codec:
             setattr(self, name, put(getattr(self, name)))
         self._zend_rows = [put(x) for x in self._zend_rows]
         self._zcen_rows = [put(x) for x in self._zcen_rows]
+        same = self._params_compute is self._params
         self._params = jax.tree_util.tree_map(put, self._params)
+        self._params_compute = (
+            self._params if same else jax.tree_util.tree_map(put, self._params_compute)
+        )
         if self.ccfg.use_fused:
             self._z_e0, self._z_w = put(self._z_e0), put(self._z_w)
             self._z_e0_rows = [put(x) for x in self._z_e0_rows]

@@ -15,7 +15,8 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+if "__file__" in globals():  # direct invocation; repo-cwd runs need no tweak
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 CONFIGS = [
     ("mnist", 2), ("mnist", 4), ("mnist", 8),

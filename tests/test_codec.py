@@ -102,6 +102,24 @@ class TestRoundTrip:
         # bits-back exactness: state returns to the exact initial bits
         assert lane_state_to_ref_lists(state) == initial
 
+    def test_roundtrip_exact_bfloat16_compute(self, small_setup, bitswap):
+        # bf16 fast mode: model passes in bfloat16 — same shared executable
+        # both directions, so exactness must hold just like f32
+        cfg, params, bins = small_setup
+        ccfg = CodecConfig(
+            model=cfg, quantbits=6, bitswap=bitswap, table_dtype="float32",
+            compute_dtype="bfloat16", init_words=400, capacity=8192,
+        )
+        codec = make_codec(params, ccfg, bins)
+        L, T = 3, 2
+        xs = _structured_images(T * L, cfg.xs, 9).reshape(T, L, cfg.xdim)
+        state0 = codec.init_state(L)
+        state = codec.encode_datapoints(state0, jnp.asarray(xs))
+        assert not np.any(np.asarray(state.overflow))
+        state, decoded = codec.decode_datapoints(state, T)
+        np.testing.assert_array_equal(np.asarray(decoded), xs)
+        assert lane_state_to_ref_lists(state) == lane_state_to_ref_lists(state0)
+
     def test_rate_close_to_elbo(self, small_setup, bitswap):
         # coding overhead D = net bits/dim - ELBO bits/dim should be small
         # (reference observes ~0.001-0.02 b/d, SURVEY §6)

@@ -58,7 +58,24 @@ from bitswap_tpu.ans.tables import TOTAL_MASS
 _KINDS = ("linear", "logit")
 
 
-def _cdf_eval(A, B, v_i32, S: int, kind: str):
+def _nofma(x, pin: bool):
+    """Pin an intermediate value so the compiler cannot contract the
+    surrounding mul+add into an FMA.  The encoder and decoder evaluate
+    `_cdf_eval` from two different compiled programs (the encode and decode
+    kernels); bits-back exactness needs cdf_int(v) to be BIT-identical in
+    both, and a context-dependent FMA contraction of `A + B*e` is the one
+    f32 rewrite that could legally change the result between them.  The
+    barrier forces `B*e` to be rounded separately everywhere XLA compiles
+    the evaluation (jnp path, interpret-mode kernels).  `pin=False` is for
+    kernel bodies lowered by Mosaic, where `optimization_barrier` has no
+    lowering — and no pin is needed: Mosaic lowers the traced mul and add
+    as separate vector ops with no cross-op contraction pass, so identical
+    kernel IR yields identical numerics (asserted empirically by the
+    on-hardware round-trip tests, scripts/tpu_parity.py)."""
+    return jax.lax.optimization_barrier(x) if pin else x
+
+
+def _cdf_eval(A, B, v_i32, S: int, kind: str, pin: bool = True):
     """cdf_int(v) as uint32 for v in [0, S].  A, B, v broadcast together.
 
     The multiply F*M stays below 2**31 so the f32->int32 trunc is exact-
@@ -69,7 +86,7 @@ def _cdf_eval(A, B, v_i32, S: int, kind: str):
         e = jnp.log(vf) - jnp.log(jnp.float32(S) - vf)
     else:
         e = vf
-    F = jax.nn.sigmoid(A + B * e)
+    F = jax.nn.sigmoid(A + _nofma(B * e, pin))
     M = TOTAL_MASS - S
     # F*M in f32 can round UP past M (f32 spacing near 2**31 is 128) and the
     # f32->int32 conversion of 2**31 is saturation/UB — clamp first in f32 to
@@ -83,14 +100,14 @@ def _cdf_eval(A, B, v_i32, S: int, kind: str):
     return cdf
 
 
-def _encode_pc(A, B, sym_i32, S: int, kind: str):
+def _encode_pc(A, B, sym_i32, S: int, kind: str, pin: bool = True):
     """(p, c) uint32 for symbols s in [0, S): c = cdf(s), p = cdf(s+1)-c."""
-    c = _cdf_eval(A, B, sym_i32, S, kind)
-    c_hi = _cdf_eval(A, B, sym_i32 + 1, S, kind)
+    c = _cdf_eval(A, B, sym_i32, S, kind, pin)
+    c_hi = _cdf_eval(A, B, sym_i32 + 1, S, kind, pin)
     return c_hi - c, c
 
 
-def _search(A, B, masked, S: int, kind: str):
+def _search(A, B, masked, S: int, kind: str, pin: bool = True):
     """Binary search for s with cdf(s) <= masked < cdf(s+1).
 
     Exactly log2(S) iterations (S is a power of two); tracks the bounding
@@ -106,7 +123,7 @@ def _search(A, B, masked, S: int, kind: str):
     m_i = jax.lax.bitcast_convert_type(masked, jnp.int32)
     for _ in range(steps):
         mid = (lo_v + hi_v) >> 1  # in [1, S-1]: never hits the forced ends
-        cm = _cdf_eval(A, B, mid, S, kind)
+        cm = _cdf_eval(A, B, mid, S, kind, pin)
         le = jax.lax.bitcast_convert_type(cm, jnp.int32) <= m_i
         lo_v = jnp.where(le, mid, lo_v)
         c_lo = jnp.where(le, cm, c_lo)
@@ -163,7 +180,7 @@ def decode_window_affine_jnp(hi, lo, A, B, window, S: int, kind: str):
 # ---------------------------------------------------------------------------
 
 
-def _encode_affine_kernel(S, kind, a_ref, b_ref, syms_ref, hi_ref, lo_ref,
+def _encode_affine_kernel(S, kind, pin, a_ref, b_ref, syms_ref, hi_ref, lo_ref,
                           hi_out, lo_out, words_ref, mask_ref, regs):
     from jax.experimental import pallas as pl
 
@@ -178,7 +195,7 @@ def _encode_affine_kernel(S, kind, a_ref, b_ref, syms_ref, hi_ref, lo_ref,
 
     def body(t, carry):
         hi, lo = carry
-        p, c = _encode_pc(a_ref[t], b_ref[t], syms_ref[t], S, kind)
+        p, c = _encode_pc(a_ref[t], b_ref[t], syms_ref[t], S, kind, pin)
         hi, lo, word, pushed = _encode_step(hi, lo, p, c)
         words_ref[t] = word
         mask_ref[t] = _b2u(pushed)
@@ -194,7 +211,7 @@ def _encode_affine_kernel(S, kind, a_ref, b_ref, syms_ref, hi_ref, lo_ref,
         lo_out[:] = lo
 
 
-def _decode_affine_kernel(S, kind, a_ref, b_ref, win_ref, hi_ref, lo_ref,
+def _decode_affine_kernel(S, kind, pin, a_ref, b_ref, win_ref, hi_ref, lo_ref,
                           hi_out, lo_out, cnt_out, syms_ref, regs, cnt_regs):
     from jax.experimental import pallas as pl
 
@@ -215,7 +232,7 @@ def _decode_affine_kernel(S, kind, a_ref, b_ref, win_ref, hi_ref, lo_ref,
         hi, lo, cnt = carry
         t = chunk - 1 - k  # positions run backwards within the chunk
         masked = lo & _U32(_MASK31)
-        s, c, p = _search(a_ref[t], b_ref[t], masked, S, kind)
+        s, c, p = _search(a_ref[t], b_ref[t], masked, S, kind, pin)
         new_hi, new_lo, renorm = _decode_transition(hi, lo, p, c, masked)
         word = _onehot_word(win_i32, kiota, cnt)
         hi = jnp.where(renorm, new_lo, new_hi)
@@ -259,7 +276,7 @@ def encode_window_affine_pallas(hi, lo, A, B, syms, S: int, kind: str):
     seq_spec = pl.BlockSpec((chunk, R, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
 
     hi2, lo2, words, mask = pl.pallas_call(
-        functools.partial(_encode_affine_kernel, S, kind),
+        functools.partial(_encode_affine_kernel, S, kind, _interpret()),
         grid=(grid,),
         in_specs=[seq_spec, seq_spec, seq_spec, lane_spec, lane_spec],
         out_specs=(lane_spec, lane_spec, seq_spec, seq_spec),
@@ -302,7 +319,7 @@ def decode_window_affine_pallas(hi, lo, A, B, window, S: int, kind: str):
     win_spec = pl.BlockSpec((W, R, 128), lambda g: (0, 0, 0), memory_space=pltpu.VMEM)
 
     hi2, lo2, cnt, syms = pl.pallas_call(
-        functools.partial(_decode_affine_kernel, S, kind),
+        functools.partial(_decode_affine_kernel, S, kind, _interpret()),
         grid=(grid,),
         in_specs=[seq_spec, seq_spec, win_spec, lane_spec, lane_spec],
         out_specs=(lane_spec, lane_spec,

@@ -93,27 +93,69 @@ def init_lane_state(
 
 def pad_lane_state(state: LaneState, num_lanes: int) -> LaneState:
     """Append dummy lanes up to `num_lanes` (for sharding across a mesh that
-    does not divide L).  Padding lanes carry a valid fresh head (hi=1, empty
-    stack) so they code garbage harmlessly; callers slice results back to the
-    real lane count (container.pack_lanes(num_lanes=...))."""
+    does not divide L).  Padding lanes carry a valid fresh head (hi=1) and a
+    stack of zeros at the REAL lanes' minimum depth — not sp=0, which would
+    blow the lane spread past the windowed buffer ops' _SPREAD_CAP (the ops
+    only touch a lane-uniform window around the stack tops).  They code/pop
+    zero-words harmlessly; callers slice results back to the real lane count
+    (container.pack_lanes(num_lanes=...))."""
     L = state.num_lanes
     assert num_lanes >= L
     if num_lanes == L:
         return state
     extra = num_lanes - L
+    capacity = state.capacity
+    sp_host = np.asarray(state.sp)
+    pad_sp = int(sp_host.min()) if sp_host.size else 0
 
-    def pad(x, fill):
-        widths = [(0, extra)] + [(0, 0)] * (x.ndim - 1)
-        return jnp.pad(x, widths, constant_values=fill)
+    # Padding stacks must look like REAL streams: random words >= 2**16,
+    # like init_lane_state's initial bits.  A zero-filled stack is
+    # pathological under decode — every popped 0-word leaves the head below
+    # lbound, forcing another pop, so a padding lane burns through its whole
+    # stack in a few ops and drags the lane-uniform buffer window
+    # (_SPREAD_CAP) away from the real lanes.
+    rng = np.random.RandomState(977)
+    pad_buf = np.zeros((extra, capacity), np.uint32)
+    if pad_sp > 0:
+        pad_buf[:, :pad_sp] = rng.randint(
+            1 << 16, (1 << 32) - 1, size=(extra, pad_sp), dtype=np.uint32)
+    pad_hi = rng.randint(1 << 16, (1 << 32) - 1, size=(extra,), dtype=np.uint32)
+
+    def pad(x, tail):
+        return jnp.concatenate([x, jnp.asarray(tail)], axis=0)
 
     return LaneState(
-        buf=pad(state.buf, np.uint32(0)),
-        sp=pad(state.sp, np.int32(0)),
-        hi=pad(state.hi, np.uint32(1)),
-        lo=pad(state.lo, np.uint32(0)),
-        overflow=pad(state.overflow, False),
-        underflow=pad(state.underflow, False),
+        buf=pad(state.buf, pad_buf),
+        sp=pad(state.sp, np.full((extra,), pad_sp, np.int32)),
+        hi=pad(state.hi, pad_hi),
+        lo=pad(state.lo, np.zeros((extra,), np.uint32)),
+        overflow=pad(state.overflow, np.zeros((extra,), bool)),
+        underflow=pad(state.underflow, np.zeros((extra,), bool)),
     )
+
+
+@jax.jit
+def lane_states_equal(a: LaneState, b: LaneState):
+    """Per-lane exact-equality (L,) bool of two LaneStates, ON DEVICE.
+
+    Equality in the reference-list sense (same stack contents + same head):
+    buffer words above the stack pointer are don't-care.  Use this instead
+    of comparing `lane_state_to_ref_lists` results when the buffers are
+    large — a device->host fetch of the full (L, capacity) buffer costs
+    minutes on tunneled backends; this fetches L booleans."""
+    assert a.capacity == b.capacity, (a.capacity, b.capacity)
+    sp_eq = a.sp == b.sp
+    head_eq = (a.hi == b.hi) & (a.lo == b.lo)
+    live = jnp.arange(a.capacity, dtype=jnp.int32)[None, :] < jnp.minimum(a.sp, b.sp)[:, None]
+    buf_eq = jnp.all(jnp.where(live, a.buf == b.buf, True), axis=1)
+    return sp_eq & head_eq & buf_eq
+
+
+@jax.jit
+def arrays_equal(a, b):
+    """Scalar bool, on device — one 1-byte fetch instead of shipping both
+    arrays to the host."""
+    return jnp.all(a == b)
 
 
 def lane_state_to_ref_lists(state: LaneState):
@@ -168,50 +210,103 @@ def lane_state_from_ref_lists(states, capacity: int) -> LaneState:
 from bitswap_tpu.ans import pallas_coder as _pc
 
 
+# Maximum supported spread between the deepest and shallowest lane stack
+# (max sp - min sp).  The buffer ops below touch only a lane-uniform window
+# of `seq + _SPREAD_CAP` columns around the stack tops — per-lane-offset
+# indexing over the full (L, capacity) buffer is a general gather, which the
+# TPU serializes per element (measured ~19 ns/element: 111 ms per append at
+# L=256/capacity=22528, 100x the coder kernel).  Lanes run the same op
+# sequence on same-sized data, so their stack depths stay within a few
+# hundred words of each other; exceeding the cap sets the sticky overflow
+# flag (loud failure, never silent corruption).  Kept small deliberately:
+# on bandwidth-starved backends every extra window column is HBM traffic.
+# Override with BITSWAP_TPU_SPREAD_CAP for workloads whose lanes drift
+# further apart (more datapoints per stream -> wider random walk).
+import os as _os
+
+_SPREAD_CAP = int(_os.environ.get("BITSWAP_TPU_SPREAD_CAP", "2048"))
+
+
+def _lane_shift_right(x, d, fill):
+    """Per-lane right shift: out[l, j] = x[l, j - d[l]] (fill for j < d[l]).
+
+    A barrel shifter: log2(W) static-roll stages selected per lane by the
+    bits of d — pure slice/concat/where, fully vectorized on TPU (a per-lane
+    dynamic shift is otherwise a serialized gather).  d must be in [0, W]."""
+    L, W = x.shape
+    fill = x.dtype.type(fill) if hasattr(x.dtype, "type") else fill
+    for b in range((W - 1).bit_length()):
+        amt = 1 << b
+        if amt >= W:
+            shifted = jnp.full_like(x, fill)
+        else:
+            pad = jnp.full((L, amt), fill, x.dtype)
+            shifted = jnp.concatenate([pad, x[:, :-amt]], axis=1)
+        take = ((d >> b) & 1) == 1
+        x = jnp.where(take[:, None], shifted, x)
+    return x
+
+
 def _append_words(state: LaneState, words, mask) -> LaneState:
-    """Append the masked window words to each lane's stack (one scatter).
+    """Append the masked window words to each lane's stack.
 
     words, mask: (seq, L) — word/push-flag per symbol position in push order.
-    """
+
+    GATHER- AND SCATTER-FREE: general gathers/scatters serialize per element
+    on TPU.  (1) compact the pushed words to the front with ONE stable 1-bit
+    sort (pushed-first, push order preserved); (2) barrel-shift each lane's
+    compacted run right by its stack offset inside a lane-uniform window;
+    (3) merge the window back with a single dynamic_slice / where /
+    dynamic_update_slice (lane-uniform starts — contiguous, fast)."""
     num_lanes, capacity = state.buf.shape
     seq = words.shape[0]
     m = mask.astype(jnp.int32)
-    # SCATTER-FREE append.  A scatter into the lane-sharded buffer either
-    # forces an all-gather (explicit 2-D lane indices) or lowers to a
-    # serialized per-index loop on TPU (batched/vmapped scatter) — both
-    # disastrous.  Instead: (1) compact the pushed words to the front of the
-    # window with a per-lane binary search over the cumulative push ranks;
-    # (2) rebuild the buffer as a masked gather — position c takes
-    # compact[c - sp] inside the appended span, else keeps buf[c].  All
-    # gathers carry the lane axis as a batch dim, so the op is pure
-    # elementwise+gather: fully vectorized on the VPU and partitionable
-    # over a lane-sharded mesh.
-    ranks = jnp.cumsum(m, axis=0)  # (seq, L); rank j+1 at the j-th push
-    npush = ranks[-1]  # (L,)
-    ranks_T = jnp.swapaxes(ranks, 0, 1)  # (L, seq)
+    npush = jnp.sum(m, axis=0, dtype=jnp.int32)  # (L,) (int32 also under x64)
+
+    # (1) stable sort by the 1-bit "not pushed" key: pushed words first, in
+    # original (= push) order
+    keys_T = jnp.swapaxes(1 - m, 0, 1)  # (L, seq) int32
     words_T = jnp.swapaxes(words, 0, 1)
-    j = jnp.arange(seq, dtype=jnp.int32)
-    t_of_j = jax.vmap(lambda r: jnp.searchsorted(r, j + 1, side="left"))(ranks_T)
-    compact = jnp.take_along_axis(
-        words_T, jnp.minimum(t_of_j, seq - 1).astype(jnp.int32), axis=1
-    )  # (L, seq): the pushed words in push order (garbage past npush)
-    c = jnp.arange(capacity, dtype=jnp.int32)[None, :]
-    rel = c - state.sp[:, None]  # (L, capacity)
-    in_span = (rel >= 0) & (rel < npush[:, None])  # words past capacity drop
-    src = jnp.take_along_axis(compact, jnp.clip(rel, 0, seq - 1), axis=1)
-    buf = jnp.where(in_span, src, state.buf)
-    overflow = state.overflow | (state.sp + npush > capacity)
+    _, compact = jax.lax.sort((keys_T, words_T), dimension=1, is_stable=True,
+                              num_keys=1)  # (L, seq)
+
+    # (2) lane-uniform window [base, base + Wb) covering every lane's span
+    Wb = min(seq + _SPREAD_CAP, capacity)
+    base = jnp.clip(jnp.min(state.sp), 0, capacity - Wb).astype(jnp.int32)
+    d = state.sp - base  # (L,) per-lane offset inside the window
+    fits = d + npush <= Wb  # spread cap / clamp check, per lane
+    pad = jnp.zeros((num_lanes, Wb - seq), words.dtype) if Wb > seq else None
+    patch = compact[:, :Wb] if Wb <= seq else jnp.concatenate([compact, pad], axis=1)
+    patch = _lane_shift_right(patch, jnp.minimum(d, Wb), np.uint32(0))
+
+    # (3) merge
+    k = jnp.arange(Wb, dtype=jnp.int32)[None, :]
+    in_span = (k >= d[:, None]) & (k < (d + npush)[:, None]) & fits[:, None]
+    window = jax.lax.dynamic_slice(state.buf, (jnp.int32(0), base), (num_lanes, Wb))
+    merged = jnp.where(in_span, patch, window)
+    buf = jax.lax.dynamic_update_slice(state.buf, merged, (jnp.int32(0), base))
+    overflow = state.overflow | (state.sp + npush > capacity) | ~fits
     return state._replace(buf=buf, sp=state.sp + npush, overflow=overflow)
 
 
 def _pop_window(state: LaneState, width: int):
-    """(window (width, L) uint32) with window[k, l] = k-th word lane l would
-    pop — one gather; reads below the stack bottom are clamped (flagged as
-    underflow later via the pop count)."""
-    offs = jnp.arange(width, dtype=jnp.int32)
-    idx = state.sp[None, :] - 1 - offs[:, None]
-    idx = jnp.maximum(idx, 0)
-    return jnp.take_along_axis(state.buf, jnp.swapaxes(idx, 0, 1), axis=1).T
+    """(window (width, L) uint32, bad (L,) bool) with window[k, l] = k-th
+    word lane l would pop.  Same lane-uniform dynamic_slice + barrel-shift
+    construction as _append_words (general gathers serialize on TPU); reads
+    below the stack bottom yield zeros (flagged as underflow later via the
+    pop count).  `bad` marks lanes whose stack top lies outside the window —
+    spread over _SPREAD_CAP — whose values would be silently wrong; callers
+    fold it into the sticky underflow flag."""
+    num_lanes, capacity = state.buf.shape
+    Wb = min(width + _SPREAD_CAP, capacity)
+    base = jnp.clip(jnp.min(state.sp) - width, 0, capacity - Wb).astype(jnp.int32)
+    window = jax.lax.dynamic_slice(state.buf, (jnp.int32(0), base), (num_lanes, Wb))
+    # align so lane l's top word (buf[l, sp-1]) lands at column Wb-1:
+    # aligned[l, j] = window[l, j - (Wb - (sp[l]-base))]
+    bad = (state.sp - base) > Wb
+    d = jnp.clip(Wb - (state.sp - base), 0, Wb)
+    aligned = _lane_shift_right(window, d, np.uint32(0))
+    return aligned[:, ::-1][:, :width].T, bad  # (width, L), (L,)
 
 
 def _encode_gather_pc(cdf_ll, symbols_ll):
@@ -262,7 +357,7 @@ def ans_encode_lanes_shared(state: LaneState, cdf_shared, symbols) -> LaneState:
 # the drivers below split each op into <=_DECODE_SYM_CHUNK-symbol sub-ops,
 # re-gathering a window exactly as wide as the sub-op (pops per sub-op are
 # bounded by its symbol count): O(seq * chunk) total, constant VMEM.
-_DECODE_SYM_CHUNK = 256
+_DECODE_SYM_CHUNK = 1024
 
 
 def _decode_lanes_chunked(state: LaneState, seq: int, run):
@@ -277,9 +372,9 @@ def _decode_lanes_chunked(state: LaneState, seq: int, run):
     parts = []
     for start in reversed(range(0, seq, _DECODE_SYM_CHUNK)):
         n = min(_DECODE_SYM_CHUNK, seq - start)
-        window = _pop_window(state._replace(sp=sp), n)
+        window, bad = _pop_window(state._replace(sp=sp), n)
         hi, lo, syms, npop = run(hi, lo, window, start, n)
-        under = under | (npop > sp)
+        under = under | (npop > sp) | bad
         sp = sp - npop
         parts.append(syms)
     syms_all = parts[0] if len(parts) == 1 else jnp.concatenate(parts[::-1], axis=0)

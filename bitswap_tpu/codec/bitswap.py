@@ -9,8 +9,8 @@ stream — one reference "experiment" (mnist_compress.py:147) or one image's
 block sequence (imagenetcrop_compress.py:122-128) — so L images/experiments
 are coded in lockstep.
 
-Architecture: ONE JITTED EXECUTABLE PER OP KIND, shared verbatim between the
-sender and the receiver, driven by a host-side loop.
+Architecture: ONE JITTED EXECUTABLE PER MODEL KIND ("fat op"), shared
+verbatim between the sender and the receiver, driven by a host-side loop.
 
     Bits-back exactness requires the receiver to rebuild the encoder's CDF
     tables BIT-FOR-BIT: the tables come from f32 conv passes, and XLA
@@ -20,16 +20,28 @@ sender and the receiver, driven by a host-side loop.
     therefore silently diverge — observed on both CPU and TPU with trained
     checkpoints (sharp posteriors hit truncation boundaries).  The only
     construction that GUARANTEES agreement is running the identical compiled
-    program in both directions, so every model->tables computation is one
-    module-level jitted op, called with the same arguments by the encoder
-    and the decoder.  The rANS coder ops are pure uint32 integer programs —
-    exact on every backend regardless of compilation context (their one f32
-    division estimate is corrected exactly in integer arithmetic,
-    ans/vectorized.py) — so their placement is unconstrained.
+    program in both directions.  Each (direction, zi) coder op is therefore
+    ONE module-level jitted "fat op" containing
 
-    Per-op host dispatch costs ~2-5 ms on a tunneled backend; a datapoint is
-    4*nz+1 ops over L lanes, so the overhead amortizes over the lane batch
-    (the reference pays a host round trip per op at batch size ONE).
+        model pass -> table / CDF-coefficient build        (shared upstream)
+        lax.cond(is_encode, encode coder op, decode coder op)
+
+    The sender and the receiver call the *same compiled executable* with
+    only the `is_encode` flag (runtime data) differing: the model pass and
+    the table quantization — all the context-sensitive f32 work — execute as
+    literally the same machine code in both directions.  The rANS coder ops
+    inside the cond branches are pure uint32 integer programs — exact on
+    every backend regardless of compilation context (their one f32 division
+    estimate is corrected exactly in integer arithmetic, ans/vectorized.py).
+    In fused mode the coder kernels additionally evaluate the quantized CDF
+    pointwise (elementwise f32 sigmoid); elementwise chains have no
+    reductions and their one contractible site is FMA-pinned
+    (ans/fused.py:_nofma), so those evaluations agree across the two kernel
+    bodies as well.
+
+    One dispatch per coder op (2*nz+1 per datapoint) instead of the three
+    (model / table / coder) of the previous per-stage split; stream buffers
+    are donated so the lane stacks update in place.
 
 Coding order within a datapoint (Bit-Swap sender, mnist_compress.py:179-205):
   for zi in 0..nz-1:   DECODE z_{zi+1} under q(z_{zi+1}|·)  then
@@ -94,21 +106,26 @@ class CodecConfig:
     # directions — only the rate moves (coarser mu/scale vs the f32-built
     # bins; measured ~0.01 b/d on the bench distribution).
     compute_dtype: str = "float32"
-    # coder backend: "tables" (default) materializes reference-quantized
-    # integer tables with one shared executable per op — the guaranteed-
-    # consistent mode (see module docstring).  "fused" evaluates the
-    # quantized CDF pointwise inside the coder kernels (table-free,
-    # binary-search decode — ans/fused.py): the A/B coefficient prep is a
-    # shared executable, but the sigmoid evaluations happen inside the
-    # encode and decode kernels themselves — two different programs — so
-    # exactness relies on the backend compiling both sigmoids identically.
-    # Opt-in until the search-symmetric kernels make that structural.
+    # coder backend: "fused" (the float32 default) evaluates the quantized
+    # CDF pointwise inside the coder kernels (table-free, binary-search
+    # decode — ans/fused.py); "tables" materializes reference-quantized
+    # integer tables (required for reference byte parity / float64).  Both
+    # run under the fat-op construction (module docstring): everything
+    # upstream of the integer coder — model pass, table quantization, A/B
+    # coefficients — is one executable shared by sender and receiver, and
+    # the fused kernels' in-kernel CDF evaluations are FMA-pinned
+    # (ans/fused.py:_nofma) so the encode and decode kernels agree.
     coder: str = "auto"
+    # op dispatch: "auto" runs the whole coding loop as ONE compiled program
+    # (codec/program.py — the device-resident fast path, mandatory on
+    # high-launch-latency backends); "ops" forces the per-op fat-op loop
+    # (used automatically when a test subclass injects _mu_scale).
+    dispatch: str = "auto"
 
     @property
     def use_fused(self) -> bool:
         if self.coder == "auto":
-            return False
+            return self.table_dtype == "float32"
         assert self.coder in ("fused", "tables"), self.coder
         return self.coder == "fused"
 
@@ -189,8 +206,7 @@ def _model_op(cfg: VAEConfig, order: str, direction: str, zi: int,
                            jnp.dtype(compute_dtype))
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
-def _build_tab_op(mu, scale, endpoints_out, quantbits_out: int):
+def _build_tab(mu, scale, endpoints_out, quantbits_out: int):
     """Lanes-last integer CDF table build from per-lane Logistic params.
 
     endpoints_out: (dim_out, S_out - 1) bin endpoints in the table dtype.
@@ -202,9 +218,11 @@ def _build_tab_op(mu, scale, endpoints_out, quantbits_out: int):
     return build_tables_ll(cdfs, quantbits_out)
 
 
-@functools.partial(jax.jit, static_argnums=(4,))
-def _ab_from_op(mu, scale, e0, w, kind: str):
-    """Fused-mode analog of _build_tab_op: sigmoid-argument coefficients
+_build_tab_op = functools.partial(jax.jit, static_argnums=(3,))(_build_tab)
+
+
+def _ab_from(mu, scale, e0, w, kind: str):
+    """Fused-mode analog of _build_tab: sigmoid-argument coefficients
     A, B (each (dim_out, L) f32 lanes-last) for arg(v) = A + B*e(v)
     (ans/fused.py).  e0, w: (dim_out,) equal-width bin origin/step (unused
     for kind="logit")."""
@@ -216,6 +234,9 @@ def _ab_from_op(mu, scale, e0, w, kind: str):
         A = (e0[None, :] - w[None, :] - mu) / scale
         B = w[None, :] / scale
     return jnp.swapaxes(A, 0, 1), jnp.swapaxes(B, 0, 1)
+
+
+_ab_from_op = functools.partial(jax.jit, static_argnums=(4,))(_ab_from)
 
 
 # integer coder ops — exact in any program; jitted once per table shape.
@@ -235,15 +256,45 @@ def _enc_op(state: LaneState, tables, syms):
     return ans_encode_lanes_ll(state, tables, syms)
 
 
-@jax.jit
-def _dec_shared_op(state: LaneState, table, msp):
+def _dec_shared_impl(state: LaneState, table, msp):
     state, syms = ans_decode_lanes_shared(state, table)
     return state, syms, jnp.minimum(msp, state.sp)
 
 
-@jax.jit
-def _enc_shared_op(state: LaneState, table, syms):
+def _enc_shared_impl(state: LaneState, table, syms):
     return ans_encode_lanes_shared(state, table, syms)
+
+
+_dec_shared_op = jax.jit(_dec_shared_impl)
+_enc_shared_op = jax.jit(_enc_shared_impl)
+# donating variants for the fat-op drivers: the lane stacks update in place
+_dec_shared_op_d = jax.jit(_dec_shared_impl, donate_argnums=(0,))
+_enc_shared_op_d = jax.jit(_enc_shared_impl, donate_argnums=(0,))
+
+
+@functools.cache
+def _donate() -> bool:
+    """In-place stream-buffer donation on real TPU backends only.  CPU
+    ignores donation (with a warning per executable); the tunneled "axon"
+    backend executes donated programs but then WEDGES every subsequent
+    device->host transfer in the process (measured: any np.asarray after one
+    donated execution blocks forever), so donation is disabled there.
+    Donation never changes results, only buffer reuse."""
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except RuntimeError:
+        return False
+
+
+# defensive copy of a caller's LaneState before entering a donating op chain,
+# and a fresh min-stack-pointer buffer (never an alias of state.sp: the fat
+# op donates every leaf of `state`, and a donated buffer must not also ride
+# in as a second argument).  The same copy op DETACHES driver outputs: a
+# buffer aliased to a donated input must never escape to the host — fetching
+# one deadlocks on the tunneled (axon) backend — so every public driver
+# returns freshly-copied leaves.
+_copy_state_op = jax.jit(lambda st: jax.tree_util.tree_map(jnp.copy, st))
+_msp0_op = jax.jit(lambda sp: sp + jnp.int32(0))
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5))
@@ -255,6 +306,65 @@ def _dec_affine_op(state: LaneState, A, B, msp, S: int, kind: str):
 @functools.partial(jax.jit, static_argnums=(4, 5))
 def _enc_affine_op(state: LaneState, A, B, syms, S: int, kind: str):
     return ans_encode_lanes_affine(state, A, B, S, kind, syms)
+
+
+# ---------------------------------------------------------------------------
+# the fat op: model pass + table/coefficient build + flag-selected coder step,
+# one executable per (direction, zi) — THE hot-path dispatch unit (see module
+# docstring).  The stream buffers are donated: each lane stack is updated in
+# place instead of copied per op.
+# ---------------------------------------------------------------------------
+
+
+def _fat_op_impl(cfg: VAEConfig, order: str, direction: str, zi: int, in_is_x: bool,
+            compute_dtype: str, use_fused: bool, kind: str, qb_out: int,
+            params, sym_in, centres_in, state: LaneState, syms_enc, msp, aux,
+            is_encode):
+    """One coder op end-to-end.
+
+    sym_in: (L, dim_in) int32 conditioning symbols; centres_in maps them to
+    values.  syms_enc: (L, dim_out) int32 — the symbols to encode (any value,
+    e.g. zeros, on decode calls).  aux: fused mode (e0, w) equal-width bin
+    coefficients, tables mode the (dim_out, S-1) endpoint rows.  is_encode:
+    traced bool scalar — the ONLY thing distinguishing a sender call from the
+    mirroring receiver call, so both run this same compiled program and the
+    model->tables computation cannot diverge between them.
+
+    Returns (state, syms_out, msp): decode yields the decoded symbols and the
+    folded min-stack-pointer; encode passes syms_enc/msp through unchanged.
+    """
+    given = centres_in[sym_in] if in_is_x else _centre_gather(centres_in, sym_in)
+    mu, scale = _model_mu_scale(cfg, order, direction, zi, params, given,
+                                jnp.dtype(compute_dtype))
+    if use_fused:
+        e0, w = aux
+        A, B = _ab_from(mu, scale, e0, w, kind)
+        S = 1 << qb_out
+
+        def enc(st, msp_in):
+            st2 = ans_encode_lanes_affine(st, A, B, S, kind, syms_enc)
+            return st2, syms_enc, msp_in
+
+        def dec(st, msp_in):
+            st2, syms = ans_decode_lanes_affine(st, A, B, S, kind)
+            return st2, syms, jnp.minimum(msp_in, st2.sp)
+
+    else:
+        tab = _build_tab(mu, scale, aux, qb_out)
+
+        def enc(st, msp_in):
+            return ans_encode_lanes_ll(st, tab, syms_enc), syms_enc, msp_in
+
+        def dec(st, msp_in):
+            st2, syms = ans_decode_lanes_ll(st, tab)
+            return st2, syms, jnp.minimum(msp_in, st2.sp)
+
+    return jax.lax.cond(is_encode, enc, dec, state, msp)
+
+
+_FAT_STATICS = (0, 1, 2, 3, 4, 5, 6, 7, 8)
+_fat_op = jax.jit(_fat_op_impl, static_argnums=_FAT_STATICS, donate_argnums=(12,))
+_fat_op_nd = jax.jit(_fat_op_impl, static_argnums=_FAT_STATICS)
 
 
 class Codec:
@@ -359,6 +469,113 @@ class Codec:
             self.xendpoints[None, :], (cfg.xdim, self.xendpoints.shape[0])
         ) + jnp.zeros((), dt)  # materialize once (broadcast_to alone is lazy)
 
+        # fat-op routing: active unless a subclass overrides _mu_scale (the
+        # test-injection hook replays recorded (mu, scale) feeds, which the
+        # single-executable fat op cannot intercept)
+        self._fat = type(self)._mu_scale is Codec._mu_scale
+        self._enc_flag = jnp.asarray(True)
+        self._dec_flag = jnp.asarray(False)
+        self._dummy_syms = {}
+        self._op_streams = {}
+        self._prog_consts_cache = None
+
+    # -- fat-op plumbing -----------------------------------------------------
+
+    def _dummy(self, state: LaneState, dim: int):
+        """Zero symbols (L, dim) int32 for the unused `syms_enc` argument of
+        decode-direction fat-op calls, cached per shape and matched to the
+        lane sharding of `state` so sender and receiver calls hit the same
+        compiled program."""
+        key = (state.num_lanes, dim, getattr(state.sp, "sharding", None))
+        d = self._dummy_syms.get(key)
+        if d is None:
+            z = np.zeros((state.num_lanes, dim), np.int32)
+            sh = getattr(state.sp, "sharding", None)
+            spec = getattr(sh, "spec", None)
+            if spec is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                lanes_axis = tuple(spec)[0] if len(tuple(spec)) else None
+                d = jax.device_put(
+                    z, NamedSharding(sh.mesh, PartitionSpec(lanes_axis, None))
+                )
+            else:
+                d = jnp.asarray(z)
+            self._dummy_syms[key] = d
+        return d
+
+    def _dummy_sp(self, state: LaneState):
+        """Cached (L,) int32 zeros for the unused `msp` argument of
+        encode-direction fat-op calls (must not alias the donated state.sp)."""
+        key = ("sp", state.num_lanes, getattr(state.sp, "sharding", None))
+        d = self._dummy_syms.get(key)
+        if d is None:
+            z = np.zeros((state.num_lanes,), np.int32)
+            sh = getattr(state.sp, "sharding", None)
+            d = jnp.asarray(z) if getattr(sh, "spec", None) is None else jax.device_put(z, sh)
+            self._dummy_syms[key] = d
+        return d
+
+    def _fat_call(self, state, direction, zi, sym_in, syms, msp, is_encode):
+        """Dispatch one fat op (see _fat_op); syms=None on decode calls."""
+        in_is_x, cin, eout, qb, kind, e0, w = self._op_kinds(direction, zi)
+        aux = (e0, w) if self.ccfg.use_fused else eout
+        if syms is None:
+            syms = self._dummy(state, eout.shape[0])
+        op = _fat_op if _donate() else _fat_op_nd
+        return op(
+            self.ccfg.model, self.ccfg.symbol_order, direction, zi, in_is_x,
+            self.ccfg.compute_dtype, self.ccfg.use_fused, kind, qb,
+            self._params_compute, sym_in, cin, state, syms, msp,
+            aux, self._enc_flag if is_encode else self._dec_flag,
+        )
+
+    # -- single-program dispatch (codec/program.py) --------------------------
+
+    @property
+    def _use_program(self) -> bool:
+        return self._fat and self.ccfg.dispatch != "ops"
+
+    def _prog_consts(self):
+        from bitswap_tpu.codec.program import ProgramConsts
+
+        if self._prog_consts_cache is None:
+            if self.ccfg.use_fused:
+                zero = jnp.zeros((1, 1, 1), self.zendpoints.dtype)
+                self._prog_consts_cache = ProgramConsts(
+                    xcentres=self.xcentres, zcen=self.zcentres,
+                    prior_table=self.prior_cdf_table,
+                    z_e0=self._z_e0, z_w=self._z_w,
+                    x_e0=self._x_e0, x_w=self._x_w,
+                    zend=zero, xend=zero[0],
+                )
+            else:
+                zero = jnp.zeros((1,), jnp.float32)
+                self._prog_consts_cache = ProgramConsts(
+                    xcentres=self.xcentres, zcen=self.zcentres,
+                    prior_table=self.prior_cdf_table,
+                    z_e0=zero, z_w=zero, x_e0=zero, x_w=zero,
+                    zend=self.zendpoints, xend=self._xend_rows,
+                )
+        return self._prog_consts_cache
+
+    def _prog_call(self, state: LaneState, xs_buf, direction: str, T: int):
+        """Run the whole coding loop as one program.  Returns
+        (state, xs_buf, msp, sp_trace (n_ops, L))."""
+        from bitswap_tpu.codec.program import build_op_stream, run_program
+
+        key = (direction, T, self.ccfg.bitswap)
+        ops = self._op_streams.get(key)
+        if ops is None:
+            ops = tuple(jnp.asarray(a) for a in build_op_stream(
+                self.ccfg.model.nz, self.ccfg.bitswap, direction, T))
+            self._op_streams[key] = ops
+        return run_program(
+            self.ccfg.model, self.ccfg.symbol_order, self.ccfg.compute_dtype,
+            self.ccfg.use_fused, self.ccfg.quantbits,
+            self._params_compute, self._prog_consts(), state, xs_buf,
+            _msp0_op(state.sp), *ops)
+
     # -- op dispatch ---------------------------------------------------------
     #
     # Every (direction, zi) coder op is one _tab_op (or _ab_op) executable
@@ -406,6 +623,8 @@ class Codec:
 
     def _dec(self, state, direction, zi, sym_in, msp):
         """Decode one symbol vector under the (direction, zi) model op."""
+        if self._fat:
+            return self._fat_call(state, direction, zi, sym_in, None, msp, False)
         _, _, eout, qb, kind, e0, w = self._op_kinds(direction, zi)
         mu, scale = self._mu_scale(direction, zi, sym_in)
         if self.ccfg.use_fused:
@@ -416,6 +635,10 @@ class Codec:
 
     def _enc(self, state, direction, zi, sym_in, syms):
         """Encode `syms` under the (direction, zi) model op."""
+        if self._fat:
+            st, _, _ = self._fat_call(state, direction, zi, sym_in, syms,
+                                      self._dummy_sp(state), True)
+            return st
         _, _, eout, qb, kind, e0, w = self._op_kinds(direction, zi)
         mu, scale = self._mu_scale(direction, zi, sym_in)
         if self.ccfg.use_fused:
@@ -423,6 +646,14 @@ class Codec:
             S = 256 if (direction == "generate" and zi == 0) else self.ccfg.zsupport
             return _enc_affine_op(state, A, B, syms, S, kind)
         return _enc_op(state, _build_tab_op(mu, scale, eout, qb), syms)
+
+    def _prior_enc(self, state, syms):
+        op = _enc_shared_op_d if (self._fat and _donate()) else _enc_shared_op
+        return op(state, self.prior_cdf_table, syms)
+
+    def _prior_dec(self, state, msp):
+        op = _dec_shared_op_d if (self._fat and _donate()) else _dec_shared_op
+        return op(state, self.prior_cdf_table, msp)
 
     # -- single-datapoint sender/receiver -----------------------------------
 
@@ -439,7 +670,7 @@ class Codec:
                 syms = x if zi == 0 else zsym
                 state = self._enc(state, "generate", zi, zsymtop, syms)
                 zsym = zsymtop
-            state = _enc_shared_op(state, self.prior_cdf_table, zsym)
+            state = self._prior_enc(state, zsym)
         else:
             zs: List[jnp.ndarray] = []
             prev = x
@@ -450,14 +681,14 @@ class Codec:
             for zi in range(nz):
                 syms = x if zi == 0 else zs[zi - 1]
                 state = self._enc(state, "generate", zi, zs[zi], syms)
-            state = _enc_shared_op(state, self.prior_cdf_table, zs[-1])
+            state = self._prior_enc(state, zs[-1])
         return state, msp
 
     def _decode_one(self, state: LaneState, msp) -> Tuple[LaneState, jnp.ndarray, jnp.ndarray]:
         """Receiver for one datapoint (mnist_compress.py:284-354).  Returns
         (state, x (L, xdim) int32, msp)."""
         nz = self.ccfg.model.nz
-        state, zsymtop, msp = _dec_shared_op(state, self.prior_cdf_table, msp)
+        state, zsymtop, msp = self._prior_dec(state, msp)
 
         if self.ccfg.bitswap:
             for zi in reversed(range(nz)):
@@ -526,30 +757,43 @@ class Codec:
 
     def encode_datapoints(self, state: LaneState, xs) -> LaneState:
         """xs: (T, L, xdim) int32."""
-        msp = state.sp
+        if self._use_program:
+            st, _, _, _ = self._prog_call(state, jnp.asarray(xs), "encode", xs.shape[0])
+            return st
+        state, msp = self._arm(state)
         for t in range(xs.shape[0]):
             state, msp = self._encode_one(state, jnp.asarray(xs[t]), msp)
-        return state
+        return self._detach(state)
 
     def encode_datapoints_with_counts(self, state: LaneState, xs):
         """Returns (state, sp_per_datapoint (T, L) int32) — the experiment
         harness derives the reference's `nets`/`cma` metrics from these
         (mnist_compress.py:254-260)."""
-        msp = state.sp
+        if self._use_program:
+            T = xs.shape[0]
+            st, _, _, sp_trace = self._prog_call(state, jnp.asarray(xs), "encode", T)
+            nz = self.ccfg.model.nz
+            ends = np.arange(1, T + 1) * (2 * nz + 2) - 1
+            return st, sp_trace[jnp.asarray(ends)]
+        state, msp = self._arm(state)
         sps = []
         for t in range(xs.shape[0]):
             state, msp = self._encode_one(state, jnp.asarray(xs[t]), msp)
-            sps.append(state.sp)
-        return state, jnp.stack(sps)
+            # snapshot a COPY: later ops donate (and so invalidate) state.sp
+            sps.append(_msp0_op(state.sp) if self._donating else state.sp)
+        return self._detach(state), jnp.stack(sps)
 
     def encode_datapoints_with_min_sp(self, state: LaneState, xs):
         """Returns (state, min_sp (L,) int32) — min_sp words at the bottom of
         each lane's stack were never consumed and may be trimmed from the
         serialized container (demo_compress.py:160)."""
-        msp = state.sp
+        if self._use_program:
+            st, _, msp, _ = self._prog_call(state, jnp.asarray(xs), "encode", xs.shape[0])
+            return st, msp
+        state, msp = self._arm(state)
         for t in range(xs.shape[0]):
             state, msp = self._encode_one(state, jnp.asarray(xs[t]), msp)
-        return state, msp
+        return self._detach(state), self._detach(msp)
 
     def rest_sp(self, state: LaneState, x0):
         """Stack pointer right after the first decode op(s) of the first
@@ -557,22 +801,46 @@ class Codec:
         unconsumed initial bits (mnist_compress.py:190-193 Bit-Swap;
         :225-227 BB-ANS takes it after ALL nz decodes)."""
         nz = self.ccfg.model.nz
-        msp = state.sp
-        st, zsymtop, msp = self._dec(state, "infer", 0, jnp.asarray(x0), msp)
+        st, msp = self._arm(state)
+        st, zsymtop, msp = self._dec(st, "infer", 0, jnp.asarray(x0), msp)
         if not self.ccfg.bitswap:
             for zi in range(1, nz):
                 st, zsymtop, msp = self._dec(st, "infer", zi, zsymtop, msp)
-        return st.sp
+        return self._detach(st.sp)
 
     def decode_datapoints(self, state: LaneState, num_datapoints: int):
         """Returns (state, xs (T, L, xdim) int32) in natural (encode) order —
         the receiver pops datapoints LIFO (mnist_compress.py:278)."""
-        msp = state.sp
+        if self._use_program:
+            cfg = self.ccfg.model
+            zeros = jnp.zeros((num_datapoints, state.num_lanes, cfg.xdim), jnp.int32)
+            st, xs_buf, _, _ = self._prog_call(state, zeros, "decode", num_datapoints)
+            return st, xs_buf
+        state, msp = self._arm(state)
         xs = []
         for _ in range(num_datapoints):
             state, x, msp = self._decode_one(state, msp)
             xs.append(x)
-        return state, jnp.stack(xs[::-1])
+        return self._detach(state), jnp.stack(xs[::-1])
+
+    @property
+    def _donating(self) -> bool:
+        return self._fat and _donate()
+
+    def _detach(self, tree):
+        """Fresh (non-donated-aliased) copies of a donating chain's results:
+        safe for host fetch and for re-entering another donating chain."""
+        return _copy_state_op(tree) if self._donating else tree
+
+    def _arm(self, state: LaneState):
+        """Entry guard for the public drivers: when the fat ops donate
+        buffers, hand them a private copy of the caller's state (the caller
+        keeps a valid `state`, e.g. for re-runs or the bits-back comparison)
+        and a min-sp buffer that is not an alias of the donated state.sp."""
+        if self._donating:
+            state = _copy_state_op(state)
+            return state, _msp0_op(state.sp)
+        return state, state.sp
 
 
 def make_codec(params, ccfg: CodecConfig, bins: DiscretizationBins) -> Codec:

@@ -74,7 +74,8 @@ def run_experiments(
     from bitswap_tpu.train.data import load_dataset
     from bitswap_tpu.train.runtime import load_params
     from bitswap_tpu.utils.registry import get_spec
-    from bitswap_tpu.ans.vectorized import lane_state_to_ref_lists
+    from bitswap_tpu.ans.vectorized import (
+        arrays_equal, lane_state_to_ref_lists, lane_states_equal)
 
     scheme = "bitswap" if bitswap else "bbans"
     spec = get_spec(dataset)
@@ -159,10 +160,17 @@ def run_experiments(
 
     verified = None
     if verify:
+        # the reference's receiver pass (mnist_compress.py:277-358): decode
+        # everything back, compare datapoints, and check the bits-back
+        # invariant state == initialstate.  Comparisons run ON DEVICE —
+        # fetching the full buffers costs minutes on tunneled backends.
+        t0 = time.time()
         state_back, decoded = codec.decode_datapoints(state, ndatapoints)
-        ok_data = bool(np.array_equal(np.asarray(decoded), xs_flat))
-        ok_state = lane_state_to_ref_lists(state_back) == lane_state_to_ref_lists(state0)
+        ok_data = bool(arrays_equal(decoded, xs_dev))
+        ok_state = bool(np.all(np.asarray(lane_states_equal(state_back, state0))))
         verified = ok_data and ok_state
+        print(f"receiver verification {'OK' if verified else 'FAILED'} "
+              f"({time.time()-t0:.1f}s)")
 
     result = ExperimentResult(
         nets=nets, elbos=elbos, cma=cma, total=total,

@@ -22,11 +22,22 @@ written from a 1-device and an N-device run of the same data are
 byte-identical — asserted by tests/test_container.py.
 
 Gather scope: `np.asarray` on the sharded LaneState collects across the
-*local* devices of one process (multi-chip, single-host).  Multi-process
-(pod) runs must gather first — e.g.
-`jax.experimental.multihost_utils.process_allgather` on each LaneState
-field — before packing; rank 0 then writes the container (the reference
-analog is Horovod's rank-0-only serialization, mnist_train.py:895-899).
+*local* devices of one process (multi-chip, single-host).  Under a
+multi-process (pod) run, `pack_lanes` first performs a
+`multihost_utils.process_allgather` of every LaneState field, so every host
+returns the identical container bytes; writing it from rank 0 only is the
+caller's choice (the reference analog is Horovod's rank-0-only
+serialization, mnist_train.py:895-899).
+
+Cross-mesh portability: the container BYTES are mesh-agnostic, but bits-back
+DECODING additionally requires the receiver to rebuild the encoder's CDF
+tables bit-for-bit (codec/bitswap.py docstring).  That is structural when
+the decode-side codec runs the same fat-op executables — same lane count and
+mesh shape — and numerically robust (reference-f64-class, not structural)
+for `table_dtype="float64"` on a different mesh, because jit compiles a
+different program per sharding layout.  Decode f32 streams on a mesh of the
+encoding shape; use f64 tables when resharding (__graft_entry__.py
+dryrun (3) exercises exactly that split).
 """
 
 from __future__ import annotations
@@ -39,6 +50,32 @@ from bitswap_tpu.ans.vectorized import LaneState, lane_state_from_ref_lists
 
 MAGIC = np.uint32(0x42535450)  # "BSTP"
 VERSION = np.uint32(1)
+
+
+def _host_local(state: LaneState) -> LaneState:
+    """Make every LaneState field fully host-addressable.
+
+    Single-process (even multi-device): a no-op — np.asarray collects local
+    shards.  Multi-process: allgather every field so each host holds the
+    full lane axis (SURVEY §5 distributed backend; the reference gathers to
+    rank 0 via Horovod, mnist_train.py:895-899).  Fails loudly if the
+    distributed runtime cannot gather."""
+    import jax
+
+    if jax.process_count() == 1:
+        return state
+    try:
+        from jax.experimental import multihost_utils
+
+        return LaneState(*(
+            multihost_utils.process_allgather(f, tiled=True) for f in state
+        ))
+    except Exception as e:  # pragma: no cover - needs a real multi-host run
+        raise RuntimeError(
+            "pack_lanes: multi-process gather failed; gather the LaneState "
+            "to every host (multihost_utils.process_allgather) before "
+            f"packing: {e}"
+        ) from e
 
 
 def pack_lanes(
@@ -57,7 +94,8 @@ def pack_lanes(
     num_lanes: real lane count when the state was padded for an uneven
     mesh split (mesh.shard_lane_state); padding lanes are dropped.
     """
-    # device_get gathers across processes/devices in lane order — the single
+    state = _host_local(state)
+    # device_get gathers across local devices in lane order — the single
     # deterministic host-side collection point
     buf = np.asarray(state.buf)
     sp = np.asarray(state.sp).astype(np.int64)

@@ -16,7 +16,11 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_here = globals().get("__file__", "")
+if _here and __import__("os").path.isfile(_here):  # direct invocation
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(_here))))
+else:  # `python - < scripts/x.py` stdin runs: __file__ is "<stdin>"; use cwd
+    sys.path.insert(0, os.getcwd())
 
 import numpy as np
 from PIL import Image

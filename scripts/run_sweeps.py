@@ -15,8 +15,11 @@ import os
 import sys
 import time
 
-if "__file__" in globals():  # direct invocation; repo-cwd runs need no tweak
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_here = globals().get("__file__", "")
+if _here and __import__("os").path.isfile(_here):  # direct invocation
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(_here))))
+else:  # `python - < scripts/x.py` stdin runs: __file__ is "<stdin>"; use cwd
+    sys.path.insert(0, os.getcwd())
 
 CONFIGS = [
     ("mnist", 2), ("mnist", 4), ("mnist", 8),

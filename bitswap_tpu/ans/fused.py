@@ -358,3 +358,69 @@ def encode_window_affine(hi, lo, A, B, syms, S: int, kind: str):
 def decode_window_affine(hi, lo, A, B, window, S: int, kind: str):
     impl = decode_window_affine_pallas if use_pallas() else decode_window_affine_jnp
     return impl(hi, lo, A, B, window, S, kind)
+
+
+@functools.cache
+def fused_self_check() -> bool:
+    """Once-per-process encode/decode round trip through the fused kernels.
+
+    The fused path's exactness rests on the encode and decode kernels
+    evaluating `_cdf_eval` bit-identically.  On Mosaic-lowered TPU kernels
+    that is an EMPIRICAL compiler property (`_nofma` pins only jnp/interpret
+    paths; Mosaic has no optimization_barrier lowering and today performs no
+    cross-op FMA contraction).  A future Mosaic/XLA upgrade could silently
+    break the agreement and corrupt any stream decoded without the verify
+    pass — so the codec runs this cheap structural check before the first
+    fused op of a process: encode one window of boundary-stressing symbols
+    under sharp CDFs (both `kind`s), decode it back, and demand bit equality
+    of symbols and restored heads.  Raises RuntimeError on disagreement.
+    Set BITSWAP_TPU_SKIP_SELFCHECK=1 to bypass (e.g. micro-benchmarks that
+    must not pay the one-off compile).
+    """
+    import os
+
+    if os.environ.get("BITSWAP_TPU_SKIP_SELFCHECK") == "1":
+        return True
+
+    from bitswap_tpu.ans.vectorized import (
+        ans_decode_lanes_affine,
+        ans_encode_lanes_affine,
+        init_lane_state,
+        lane_states_equal,
+    )
+
+    L, seq, S = 8, 96, 1024
+    rng = np.random.default_rng(1234)
+    # sharp scales (B = 1/scale large) push CDF mass against bin boundaries —
+    # the regime where a single-ulp disagreement between the two kernels
+    # would flip a symbol
+    mu = rng.normal(0.0, 2.0, (seq, L)).astype(np.float32)
+    scale = rng.uniform(5e-3, 0.5, (seq, L)).astype(np.float32)
+    syms = rng.integers(0, S, (L, seq), dtype=np.int32)
+
+    state0 = init_lane_state(L, capacity=1024, seed=7, init_words=64)
+
+    @jax.jit
+    def roundtrip(state, A, B, syms):
+        st = ans_encode_lanes_affine(state, A, B, S, "linear", syms)
+        st, dec_lin = ans_decode_lanes_affine(st, A, B, S, "linear")
+        ok_lin = jnp.all(dec_lin == syms)
+        st2 = ans_encode_lanes_affine(st, A, B, S, "logit", syms)
+        st2, dec_log = ans_decode_lanes_affine(st2, A, B, S, "logit")
+        ok_log = jnp.all(dec_log == syms)
+        return ok_lin, ok_log, st2
+
+    A = jnp.asarray(-mu / scale)
+    B = jnp.asarray(1.0 / scale)
+    ok_lin, ok_log, st_back = roundtrip(state0, A, B, jnp.asarray(syms))
+    ok_state = bool(np.all(np.asarray(lane_states_equal(st_back, state0))))
+    if not (bool(ok_lin) and bool(ok_log) and ok_state):
+        raise RuntimeError(
+            "fused-coder self-check FAILED: the encode and decode kernels "
+            "disagree on this backend "
+            f"(linear={bool(ok_lin)}, logit={bool(ok_log)}, state={ok_state}). "
+            "The compiler likely started contracting mul+add across ops "
+            "inside Mosaic kernels (see _nofma). Use coder='tables' until "
+            "the kernels are re-pinned."
+        )
+    return True

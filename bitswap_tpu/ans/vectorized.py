@@ -93,12 +93,12 @@ def init_lane_state(
 
 def pad_lane_state(state: LaneState, num_lanes: int) -> LaneState:
     """Append dummy lanes up to `num_lanes` (for sharding across a mesh that
-    does not divide L).  Padding lanes carry a valid fresh head (hi=1) and a
-    stack of zeros at the REAL lanes' minimum depth — not sp=0, which would
-    blow the lane spread past the windowed buffer ops' _SPREAD_CAP (the ops
-    only touch a lane-uniform window around the stack tops).  They code/pop
-    zero-words harmlessly; callers slice results back to the real lane count
-    (container.pack_lanes(num_lanes=...))."""
+    does not divide L).  Padding lanes carry a random valid head and a stack
+    of random words (>= 2**16, like initial bits) at the REAL lanes' minimum
+    depth — not sp=0, which would blow the lane spread past the windowed
+    buffer ops' _SPREAD_CAP (the ops only touch a lane-uniform window around
+    the stack tops).  They code/pop words harmlessly; callers slice results
+    back to the real lane count (container.pack_lanes(num_lanes=...))."""
     L = state.num_lanes
     assert num_lanes >= L
     if num_lanes == L:
@@ -154,7 +154,10 @@ def lane_states_equal(a: LaneState, b: LaneState):
 @jax.jit
 def arrays_equal(a, b):
     """Scalar bool, on device — one 1-byte fetch instead of shipping both
-    arrays to the host."""
+    arrays to the host.  Shapes must match EXACTLY (trace-time check):
+    broadcastable mismatches (e.g. (T, 1, xdim) vs (T, L, xdim)) must fail,
+    not silently compare under broadcasting."""
+    assert a.shape == b.shape, f"shape mismatch: {a.shape} vs {b.shape}"
     return jnp.all(a == b)
 
 

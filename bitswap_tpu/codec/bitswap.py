@@ -396,6 +396,13 @@ class Codec:
         self.zcentres = jnp.asarray(zcen, dt)  # (nz, zdim, S)
 
         if ccfg.use_fused:
+            # structural guard (once per process): the fused kernels'
+            # encode/decode agreement is an empirical Mosaic property —
+            # verify it on THIS backend before trusting any fused stream
+            # (ans/fused.py:fused_self_check)
+            from bitswap_tpu.ans.fused import fused_self_check
+
+            fused_self_check()
             # equal-width affine form of the bins: endpoint(j) = e0 + j*w.
             # Layers 0..nz-2 come from uniform discretization
             # (discretize.py's KBinsDiscretizer-uniform equivalent); the top
@@ -566,7 +573,8 @@ class Codec:
                 )
         return self._prog_consts_cache
 
-    def _prog_call(self, state: LaneState, xs_buf, direction: str, T: int):
+    def _prog_call(self, state: LaneState, xs_buf, direction: str, T: int,
+                   coder_noop: bool = False):
         """Run the whole coding loop as one program.  Returns
         (state, xs_buf, msp, sp_trace (n_ops, L))."""
         from bitswap_tpu.codec.program import build_op_stream, run_program
@@ -579,7 +587,7 @@ class Codec:
             self._op_streams[key] = ops
         return run_program(
             self.ccfg.model, self.ccfg.symbol_order, self.ccfg.compute_dtype,
-            self.ccfg.use_fused, self.ccfg.quantbits,
+            self.ccfg.use_fused, self.ccfg.quantbits, coder_noop,
             self._params_compute, self._prog_consts(), state, xs_buf,
             _msp0_op(state.sp), *ops)
 
@@ -771,6 +779,19 @@ class Codec:
         for t in range(xs.shape[0]):
             state, msp = self._encode_one(state, jnp.asarray(xs[t]), msp)
         return self._detach(state)
+
+    def encode_model_only(self, state: LaneState, xs) -> LaneState:
+        """PHASE-TIMING INSTRUMENT, not a codec: the encode descriptor
+        stream with every coder op a no-op (program.py run_program
+        coder_noop) — model passes and CDF builds execute in the same
+        compiled-scan regime as the real encode, rANS steps don't.  The
+        returned state is meaningless except as a sync handle; wall time of
+        this call vs encode_datapoints gives the honest model/coder split
+        (bench.py phase breakdown)."""
+        assert self._use_program, "phase instrument needs program dispatch"
+        st, _, _, _ = self._prog_call(state, jnp.asarray(xs), "encode",
+                                      xs.shape[0], coder_noop=True)
+        return st
 
     def encode_datapoints_with_counts(self, state: LaneState, xs):
         """Returns (state, sp_per_datapoint (T, L) int32) — the experiment

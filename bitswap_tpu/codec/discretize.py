@@ -21,6 +21,7 @@ are cached to .npz keyed by (dataset tag, nz, quantbits).
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import NamedTuple, Optional
 
@@ -109,6 +110,8 @@ def discretize_bins(
         return out
 
     # --- empirical layers ---
+    # (fallback-path steps; the fast path runs _scan_chain_jit, a
+    # module-level jitted driver so repeated builds reuse the trace)
     gen_step = jax.jit(
         lambda p, k, z, zi: _gen_sample(p, cfg, k, z, zi), static_argnums=(3,)
     )
@@ -137,21 +140,11 @@ def discretize_bins(
     # batch splits (nsamples % batch_size != 0, only in tiny-qb tests).
     fast = nsamples % batch_size == 0
 
-    def scan_chain(step, key, given_flat, zi, is_x):
+    def scan_chain(which, key, given_flat, zi, is_x):
         """given_flat: (nsamples, ...) device/np input; returns (key, (nsamples, zdim) np.f16)."""
         nb = nsamples // batch_size
-
-        def body(k, gb):
-            k, kb = jax.random.split(k)
-            if is_x:
-                gb = (gb.astype(jnp.float32) - 127.5) / 127.5
-            out = step(params, kb, gb, zi)
-            return k, out.reshape(batch_size, zdim)
-
         giv = jnp.asarray(given_flat).reshape((nb, batch_size) + given_flat.shape[1:])
-        key, outs = jax.jit(
-            lambda k, g: jax.lax.scan(body, k, g)
-        )(key, giv)
+        key, outs = _scan_chain_jit(cfg, which, zi, is_x, params, key, giv)
         return key, np.asarray(outs, np.float16).reshape(nsamples, zdim)
 
     for zi in reversed(range(1, nz)):
@@ -159,14 +152,14 @@ def discretize_bins(
         if fast:
             # generative chain: z_{zi} -> z_{zi-1}
             giv = gen_samples[zi].astype(np.float32).reshape((nsamples,) + cfg.zshape)
-            key, gen_samples[zi - 1] = scan_chain(gen_step, key, giv, zi, False)
+            key, gen_samples[zi - 1] = scan_chain("gen", key, giv, zi, False)
             # inference chain: layer (nz - zi - 1), bottom-up on data
             if kinf == 0:
                 giv = data[np.arange(nsamples) % ndata]
-                key, inf_samples[0] = scan_chain(inf_step, key, giv, 0, True)
+                key, inf_samples[0] = scan_chain("inf", key, giv, 0, True)
             else:
                 giv = inf_samples[kinf - 1].astype(np.float32).reshape((nsamples,) + cfg.zshape)
-                key, inf_samples[kinf] = scan_chain(inf_step, key, giv, kinf, False)
+                key, inf_samples[kinf] = scan_chain("inf", key, giv, kinf, False)
             continue
         for bi in range(batches):
             sl = slice(bi * batch_size, min((bi + 1) * batch_size, nsamples))
@@ -199,6 +192,28 @@ def discretize_bins(
     out = DiscretizationBins(zendpoints=zendpoints, zcentres=zcentres)
     _maybe_save(cache_path, out)
     return out
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _scan_chain_jit(cfg: VAEConfig, which: str, zi: int, is_x: bool, params, key, giv):
+    """One whole sampling chain layer as a jitted scan over batches.
+
+    Module-level (cached by jax.jit on the static (cfg, which, zi, is_x)
+    key) so repeated bin builds — and the gen/inf chains of one build —
+    reuse the trace instead of retracing per call.  The body reproduces the
+    fallback loop's key-split sequence exactly: cached bins stay
+    byte-identical (tests/test_discretize_fast.py pins this).
+    """
+    step = _gen_sample if which == "gen" else _inf_sample
+
+    def body(k, gb):
+        k, kb = jax.random.split(k)
+        if is_x:
+            gb = (gb.astype(jnp.float32) - 127.5) / 127.5
+        out = step(params, cfg, kb, gb, zi)
+        return k, out.reshape(gb.shape[0], cfg.zdim)
+
+    return jax.lax.scan(body, key, giv)
 
 
 def _gen_sample(params, cfg, key, z, zi):

@@ -62,8 +62,24 @@ def run_experiments(
     verify: bool = False,
     seed: int = 100,
     save: bool = True,
+    chunks: int = 1,
 ) -> ExperimentResult:
-    """Run the full compression sweep for one (dataset, nz, scheme) config."""
+    """Run the full compression sweep for one (dataset, nz, scheme) config.
+
+    chunks > 1 is the WIDE-LANE mode (VERDICT r4 #7): each experiment's
+    ndatapoints are split into `chunks` contiguous segments riding
+    `chunks * experiments` fresh lanes, so the device scan is
+    ndatapoints/chunks steps over C*E lanes instead of ndatapoints steps
+    over E lanes — ~chunks x faster on a weight-traffic-bound model, since
+    each model pass amortizes its weight fetch over C*E lanes.  Segments of
+    one experiment share no coder state, so per-datapoint net word counts
+    concatenate exactly (mid-stream renormalization can differ by ±1 word
+    at segment boundaries — measurement noise of ~0.003% per datapoint);
+    the initial-bits / `restbits` accounting for `cma`/`total` comes from
+    the chunk-0 lane alone, preserving the reference's sequential
+    semantics (mnist_compress.py:254-263).  Stream pickles are saved per
+    segment with a `_chunk{c}` suffix.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -115,47 +131,71 @@ def run_experiments(
         )
         np.save(idx_path, randindices)
 
-    # lanes = experiments; symbol order: datapoint-major
-    xs = test_data[randindices]  # (E, T, H, W, C)
+    # lanes: one per (chunk, experiment), lane l = c*E + e — chunk-0 lanes
+    # (the sequential-semantics carriers for restbits/cma) are lanes [0, E)
+    E, T, C = experiments, ndatapoints, chunks
+    assert T % C == 0, f"ndatapoints {T} must divide into {C} chunks"
+    Tc = T // C
+    L = C * E
+    xs = test_data[randindices]  # (E, T, H, W, ch)
     xs_flat = (
-        xs.transpose(1, 0, 2, 3, 4).reshape(ndatapoints, experiments, cfg.xdim).astype(np.int32)
+        xs.reshape((E, C, Tc) + xs.shape[2:])
+        .transpose(2, 1, 0, 3, 4, 5)
+        .reshape(Tc, L, cfg.xdim)
+        .astype(np.int32)
     )
 
     ccfg = CodecConfig(
         model=cfg, quantbits=quantbits, bitswap=bitswap, table_dtype=table_dtype,
-        init_words=10000, capacity=max(65536, 10000 + ndatapoints * cfg.xdim),
+        init_words=10000,
+        capacity=max(65536 if C == 1 else 0, 10000 + Tc * cfg.xdim + 4096),
     )
     codec = make_codec(params, ccfg, bins)
-    state0 = codec.init_state(experiments, seed=seed)
-    sp0 = np.asarray(state0.sp)
+    state0 = codec.init_state(L, seed=seed)
+    sp0 = np.asarray(state0.sp)  # (L,)
 
     t0 = time.time()
     xs_dev = jnp.asarray(xs_flat)
-    sp_rest = np.asarray(codec.rest_sp(state0, xs_dev[0]))  # (E,)
+    sp_rest = np.asarray(codec.rest_sp(state0, xs_dev[0]))[:E]  # chunk-0 lanes
     state, sps = codec.encode_datapoints_with_counts(state0, xs_dev)
     jax.block_until_ready(state.buf)
     enc_t = time.time() - t0
     assert not np.any(np.asarray(state.overflow)), "stream buffer overflow"
-    sps = np.asarray(sps).T  # (E, T)
+    sps = np.asarray(sps)  # (Tc, L)
 
     # per-datapoint ELBO (the analytic optimum the codec should approach) —
     # one jitted scan + one host transfer (a per-datapoint dispatch/fetch
     # loop pays T round trips on tunneled backends)
     def _elbo_all(p, xs_all):
-        def step(t, xt):
-            xb = xt.reshape((experiments,) + cfg.xs).astype(jnp.float32)
-            key = jax.random.fold_in(jax.random.PRNGKey(0), t)
-            return t + 1, loss_per_sample(p, cfg, key, xb)
+        # MC keys are indexed by the GLOBAL datapoint index c*Tc + u, so a
+        # chunked run draws the exact same per-datapoint ELBO estimates as
+        # the sequential run (each chunk group evaluates under its own key,
+        # vmapped so the model pass still batches over all L lanes)
+        K0 = jax.random.PRNGKey(0)
+
+        def step(u, xt):
+            xg = xt.reshape((C, E) + cfg.xs).astype(jnp.float32)
+            keys = jax.vmap(lambda c: jax.random.fold_in(K0, c * Tc + u))(
+                jnp.arange(C))
+            out = jax.vmap(lambda k, xb: loss_per_sample(p, cfg, k, xb))(keys, xg)
+            return u + 1, out.reshape(L)
 
         _, out = jax.lax.scan(step, 0, xs_all)
-        return out  # (T, E)
+        return out  # (Tc, L)
 
-    elbos = np.asarray(jax.jit(_elbo_all)(params, xs_dev)).T
+    def _to_exp(arr_tl):  # (Tc, L=(C, E)) -> (E, T) in datapoint order
+        return arr_tl.reshape(Tc, C, E).transpose(2, 1, 0).reshape(E, T)
 
-    prev = np.concatenate([sp0[:, None], sps[:, :-1]], axis=1)
-    nets = (sps - prev) * 32.0 / cfg.xdim
+    elbos = _to_exp(np.asarray(jax.jit(_elbo_all)(params, xs_dev)))
+
+    # per-lane word deltas concatenate into per-experiment per-datapoint nets
+    prev = np.concatenate([sp0[None, :], sps[:-1]], axis=0)  # (Tc, L)
+    delta_words = _to_exp(sps - prev)  # (E, T)
+    nets = delta_words * 32.0 / cfg.xdim
     t_idx = np.arange(1, ndatapoints + 1)[None, :]
-    total = (sps - sp_rest[:, None] + 1) * 32.0
+    # cumulative totals: words added across all segments, plus the one-time
+    # initial-bits offset from the chunk-0 lane's restbits snapshot
+    total = (np.cumsum(delta_words, axis=1) + (sp0[:E] - sp_rest + 1)[:, None]) * 32.0
     cma = total / (cfg.xdim * t_idx)
 
     verified = None
@@ -165,7 +205,7 @@ def run_experiments(
         # invariant state == initialstate.  Comparisons run ON DEVICE —
         # fetching the full buffers costs minutes on tunneled backends.
         t0 = time.time()
-        state_back, decoded = codec.decode_datapoints(state, ndatapoints)
+        state_back, decoded = codec.decode_datapoints(state, Tc)
         ok_data = bool(arrays_equal(decoded, xs_dev))
         ok_state = bool(np.all(np.asarray(lane_states_equal(state_back, state0))))
         verified = ok_data and ok_state
@@ -186,15 +226,33 @@ def run_experiments(
         # reference-compatible artifact names (mnist_compress.py:363-366)
         d = os.path.join(out_dir, f"{dataset}{nz}")
         os.makedirs(d, exist_ok=True)
+        # sidecar: was the data padded up to the model frame?  The plotting
+        # tools rescale rates to the ORIGINAL dims only when true (reference
+        # plots/cma.py:28-31; synthetic data is native-resolution)
+        import json
+
+        from bitswap_tpu.train.data import dataset_is_padded
+
+        with open(os.path.join(d, "meta.json"), "w") as f:
+            json.dump({
+                "padded": dataset_is_padded(dataset, cfg.xs, data_dir),
+                "synthetic": bool(synthetic),
+                "experiments": experiments, "ndatapoints": ndatapoints,
+            }, f)
         np.save(os.path.join(d, f"{scheme}_{quantbits}bits_nets"), nets)
         np.save(os.path.join(d, f"{scheme}_{quantbits}bits_elbos"), elbos)
         np.save(os.path.join(d, f"{scheme}_{quantbits}bits_cmas"), cma)
         np.save(os.path.join(d, f"{scheme}_{quantbits}bits_total"), total)
-        # final states, one pickle per experiment lane (mnist_compress.py:265-267)
+        # final states, one pickle per experiment lane (mnist_compress.py:
+        # 265-267); wide-lane runs save one per (experiment, chunk) segment
         sdir = os.path.join(bitstream_dir, dataset, f"nz{nz}", scheme)
         os.makedirs(sdir, exist_ok=True)
         lists = lane_state_to_ref_lists(state)
-        for e, lst in enumerate(lists):
-            with open(os.path.join(sdir, f"{scheme}_{quantbits}bits_nz{nz}_experiment{e+1}"), "wb") as f:
+        for l, lst in enumerate(lists):
+            c, e = divmod(l, E)
+            name = f"{scheme}_{quantbits}bits_nz{nz}_experiment{e+1}"
+            if C > 1:
+                name += f"_chunk{c}"
+            with open(os.path.join(sdir, name), "wb") as f:
                 pickle.dump(lst, f)
     return result

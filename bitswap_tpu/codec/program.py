@@ -119,13 +119,23 @@ def build_op_stream(nz: int, bitswap: bool, direction: str, T: int):
     return arr[:, 0], arr[:, 1], arr[:, 2].astype(bool)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
 def run_program(cfg, order: str, compute_dtype: str, use_fused: bool,
-                quantbits: int, params, consts: ProgramConsts,
+                quantbits: int, coder_noop: bool, params, consts: ProgramConsts,
                 state: LaneState, xs_buf, msp, op_code, dp_idx, is_enc):
     """Execute one descriptor stream.  xs_buf: (T, L, xdim) int32 — the data
     on encode, zeros on decode (STOREX fills it).  Returns
-    (state, xs_buf, msp, sp_trace (n_ops, L) int32)."""
+    (state, xs_buf, msp, sp_trace (n_ops, L) int32).
+
+    coder_noop=True is the PHASE-TIMING INSTRUMENT (bench.py): every coder
+    op (the cond(enc, dec) rANS steps, incl. the prior op) is replaced by an
+    identity that passes `syms_enc` through and folds a checksum of the CDF
+    data into msp (so the model passes and table/coefficient builds cannot
+    be dead-code-eliminated).  The resulting state is NOT a valid stream —
+    only its wall time is meaningful: it measures the model share of the
+    same compiled-scan regime the real codec runs in, which a per-op
+    dispatch loop cannot (each standalone dispatch pays ~23 ms launch +
+    uncached weight traffic; VERDICT r4 weak #2)."""
     from bitswap_tpu.codec.bitswap import _ab_from, _build_tab, _centre_gather, _model_mu_scale
 
     nz, zdim, xdim = cfg.nz, cfg.zdim, cfg.xdim
@@ -136,6 +146,17 @@ def run_program(cfg, order: str, compute_dtype: str, use_fused: bool,
 
     def coder_step(state, msp, is_enc_t, syms_enc, fused_args, tab, kind, S_out):
         """cond(enc, dec) on prepared CDF data; returns (state, syms, msp)."""
+        if coder_noop:
+            # timing no-op: keep the CDF data live via a checksum folded
+            # into msp (min with a value >= 2**30, so msp is numerically
+            # undisturbed in practice yet data-dependent for the compiler)
+            if use_fused:
+                A, B = fused_args
+                chk = (jnp.sum(A) + jnp.sum(B)).astype(jnp.int32)
+            else:
+                chk = jnp.sum(tab).astype(jnp.int32)
+            dep = jnp.maximum(jnp.abs(chk), jnp.int32(1 << 30))
+            return state, syms_enc, jnp.minimum(msp, dep)
         if use_fused:
             A, B = fused_args
 
@@ -208,6 +229,9 @@ def run_program(cfg, order: str, compute_dtype: str, use_fused: bool,
     def prior_br(carry, dp, is_enc_t):
         state, regs, msp, xs_buf = carry
         syms_enc = regs[nz][:, :zdim]
+
+        if coder_noop:  # static-table op: no model pass to keep live
+            return (state, regs, msp, xs_buf)
 
         def enc(st, m):
             return ans_encode_lanes_shared(st, consts.prior_table, syms_enc), syms_enc, m

@@ -16,8 +16,25 @@ from typing import Optional, Sequence
 import numpy as np
 
 # MNIST is padded 28->32 before modelling; published rates are per ORIGINAL
-# dim (plots/cma.py:28)
+# dim (plots/cma.py:28) — applied ONLY when the data actually was padded
+# (the experiment harness records this in plots/{ds}{nz}/meta.json;
+# synthetic data is generated natively at the model frame, so its rates are
+# already per true dim)
 MNIST_RESCALE = (32 * 32) / (28 * 28)
+
+
+def rate_scale(plots_dir: str, dataset: str, nz: int) -> float:
+    """32^2/28^2 iff the run's meta.json says the data was padded up to the
+    model frame; 1.0 otherwise (including legacy dirs with no sidecar —
+    every committed artifact is native-32^2 synthetic)."""
+    meta = os.path.join(plots_dir, f"{dataset}{nz}", "meta.json")
+    if os.path.exists(meta):
+        import json
+
+        with open(meta) as f:
+            if json.load(f).get("padded", False):
+                return MNIST_RESCALE
+    return 1.0
 
 
 def load_arrays(plots_dir: str, dataset: str, nz: int, scheme: str, quantbits: int = 10):
@@ -40,8 +57,8 @@ def table_rows(
     lines = [f"{'dataset':<10} {'nz':>3} {'scheme':<8} {'net b/d':>8} "
              f"{'elbo b/d':>9} {'D':>8} {'cma@end':>8}"]
     for ds in datasets:
-        scale = MNIST_RESCALE if ds == "mnist" else 1.0
         for nz in nzs:
+            scale = rate_scale(plots_dir, ds, nz)
             for scheme in ("bitswap", "bbans"):
                 arrs = load_arrays(plots_dir, ds, nz, scheme, quantbits)
                 if arrs["nets"] is None:
@@ -70,7 +87,7 @@ def plot_cma(
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    scale = MNIST_RESCALE if dataset == "mnist" else 1.0
+    scale = rate_scale(plots_dir, dataset, nz)
     fig, ax = plt.subplots(figsize=(6, 4))
     for scheme, color in (("bitswap", "tab:blue"), ("bbans", "tab:orange")):
         arrs = load_arrays(plots_dir, dataset, nz, scheme, quantbits)

@@ -72,6 +72,19 @@ def load_dataset(
     return synthetic_images(synthetic_n, shape, seed), True
 
 
+def dataset_is_padded(name: str, shape: Tuple[int, int, int], data_dir: str = "data") -> bool:
+    """True iff REAL data exists and is stored smaller than `shape` (e.g.
+    MNIST 28x28 padded to the 32x32 model frame, mnist_compress.py:129).
+    Published rates are rescaled to the ORIGINAL dim count only in that case
+    (reference plots/cma.py:28-31); synthetic data is generated natively at
+    `shape`, so its rates must NOT be rescaled."""
+    path = os.path.join(data_dir, name, "test.npy")
+    if not os.path.exists(path):
+        return False
+    arr = np.load(path, mmap_mode="r")
+    return arr.shape[1] < shape[0] or arr.shape[2] < shape[1]
+
+
 def batch_iterator(
     data: np.ndarray, batch_size: int, key_seed: int, shuffle: bool = True,
     drop_last: bool = True,

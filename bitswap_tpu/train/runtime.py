@@ -107,11 +107,19 @@ def warmup(params, cfg: VAEConfig, key, data_loader, warmup_batches: int,
     return jax.block_until_ready(ddi(params, key, x))
 
 
-def make_train_step(cfg: VAEConfig, tcfg: TrainConfig):
+def make_train_step(cfg: VAEConfig, tcfg: TrainConfig, grad_reduce=None,
+                    jit_it: bool = True):
     """Returns jitted step(state, key, batch) -> (state, metrics).
 
     batch: (B, H, W, C) float32 raw pixels in [0, 255].
     metrics: dict of scalars (elbo b/d, recon, per-layer kl, gnorm, lr).
+
+    grad_reduce: optional callable applied to the raw gradient pytree before
+    the optimizer update — the hook the compressed-allreduce DP wrapper
+    (parallel/mesh.py make_dp_train_step grad_compress) uses to psum
+    bf16/f16-cast gradients inside shard_map, the reference's Horovod
+    fp16-compression parity (mnist_train.py:940-943).  jit_it=False returns
+    the raw body for wrapping in shard_map.
     """
     opt = _optimizer(tcfg)
 
@@ -137,6 +145,8 @@ def make_train_step(cfg: VAEConfig, tcfg: TrainConfig):
             return elbo, aux
 
         (elbo, aux), grads = jax.value_and_grad(objective, has_aux=True)(state.params)
+        if grad_reduce is not None:
+            grads = grad_reduce(grads)
         gnorm = optax.global_norm(grads)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -151,7 +161,7 @@ def make_train_step(cfg: VAEConfig, tcfg: TrainConfig):
         metrics = dict(aux, gnorm=gnorm, lr=lr_at_step(tcfg, state.step))
         return new_state, metrics
 
-    return jax.jit(step, donate_argnums=(0,))
+    return jax.jit(step, donate_argnums=(0,)) if jit_it else step
 
 
 def make_eval_step(cfg: VAEConfig):

@@ -22,8 +22,8 @@ else:  # `python - < scripts/x.py` stdin runs: __file__ is "<stdin>"; use cwd
     sys.path.insert(0, os.getcwd())
 
 CONFIGS = [
-    ("mnist", 2), ("mnist", 4), ("mnist", 8),
-    ("cifar", 2), ("cifar", 4), ("cifar", 8),
+    ("mnist", 1), ("mnist", 2), ("mnist", 4), ("mnist", 8),
+    ("cifar", 1), ("cifar", 2), ("cifar", 4), ("cifar", 8),
     ("imagenet", 2), ("imagenet", 4),
 ]
 

@@ -256,6 +256,16 @@ def _decode_affine_kernel(S, kind, pin, a_ref, b_ref, win_ref, hi_ref, lo_ref,
 _AFFINE_CHUNK = 512
 
 
+def _affine_chunk_cap(R: int) -> int:
+    """Scale the seq-chunk down as the lane-row count R grows: VMEM block
+    residency per grid step is ~5 (chunk, R, 128) buffers, and the proven
+    envelope is chunk*R <= 512*8 (L=1024).  At L=2048 (R=16) a fixed 512
+    chunk overflows scoped VMEM by exactly the last 32 KB (measured:
+    'Ran out of memory in memory space vmem ... 16.03M and limit 16.00M',
+    rgb_probe r5); halving the chunk restores headroom."""
+    return max(64, (_AFFINE_CHUNK * 8) // max(R, 8))
+
+
 def encode_window_affine_pallas(hi, lo, A, B, syms, S: int, kind: str):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -270,7 +280,7 @@ def encode_window_affine_pallas(hi, lo, A, B, syms, S: int, kind: str):
     b_p = _pad_lanes(B, 1, Lp, 0.0).reshape(seq, R, 128)
     s_p = _pad_lanes(syms, 1, Lp, 0).reshape(seq, R, 128)
 
-    chunk = _largest_chunk(seq, _AFFINE_CHUNK)
+    chunk = _largest_chunk(seq, _affine_chunk_cap(R))
     grid = seq // chunk
     lane_spec = pl.BlockSpec((R, 128), lambda g: (0, 0), memory_space=pltpu.VMEM)
     seq_spec = pl.BlockSpec((chunk, R, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
@@ -311,7 +321,7 @@ def decode_window_affine_pallas(hi, lo, A, B, window, S: int, kind: str):
     b_p = _pad_lanes(B, 1, Lp, 0.0).reshape(seq, R, 128)
     win_p = _pad_lanes(window, 1, Lp, np.uint32(0)).reshape(W, R, 128)
 
-    chunk = _largest_chunk(seq, _AFFINE_CHUNK)
+    chunk = _largest_chunk(seq, _affine_chunk_cap(R))
     grid = seq // chunk
     rev = lambda g: (grid - 1 - g, 0, 0)  # noqa: E731 — consumed from the end
     lane_spec = pl.BlockSpec((R, 128), lambda g: (0, 0), memory_space=pltpu.VMEM)

@@ -440,7 +440,9 @@ def encode_window_pallas(hi, lo, p, c):
     p_p = _pad_lanes(p, 1, Lp, np.uint32(1 << 30)).reshape(seq, R, 128)
     c_p = _pad_lanes(c, 1, Lp, np.uint32(0)).reshape(seq, R, 128)
 
-    chunk = _largest_chunk(seq, _ENCODE_CHUNK)
+    # scale the chunk down with the lane-row count (same VMEM envelope as
+    # ans/fused.py:_affine_chunk_cap — chunk*R <= 512*8 is the proven fit)
+    chunk = _largest_chunk(seq, max(64, (_ENCODE_CHUNK * 8) // max(R, 8)))
     grid = seq // chunk
     lane_spec = pl.BlockSpec((R, 128), lambda g: (0, 0), memory_space=pltpu.VMEM)
     seq_spec = pl.BlockSpec((chunk, R, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)

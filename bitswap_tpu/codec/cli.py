@@ -27,6 +27,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--table-dtype", default="float32", choices=["float32", "float64"])
     p.add_argument("--data-dir", default="data")
     p.add_argument("--no-save", action="store_true")
+    p.add_argument("--chunks", type=int, default=1,
+                   help="wide-lane mode: split each experiment's datapoints "
+                        "into N fresh-lane segments (~Nx faster sweeps; "
+                        "sequential cma/restbits semantics preserved)")
     return p
 
 
@@ -48,6 +52,7 @@ def main(argv=None) -> int:
         data_dir=args.data_dir,
         verify=args.verify,
         save=not args.no_save,
+        chunks=args.chunks,
     )
     if result.verified is False:
         return 1

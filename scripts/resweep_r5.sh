@@ -6,6 +6,9 @@
 set -u
 cd "$(dirname "$0")/.."
 LOG=runs/sweeps_r5.log
+# the nz=8 checkpoints were retrained this round: their cached
+# discretization bins are stale and MUST rebuild from the new params
+rm -f bins/mnist_nz8_qb10.npz bins/cifar_nz8_qb10.npz
 {
   python scripts/run_sweeps.py --only mnist1,cifar1,mnist8,cifar8 --chunks 10
   rc=$?

@@ -141,6 +141,30 @@ class TestRoundTrip:
         np.testing.assert_array_equal(np.asarray(decoded), xs)
         assert lane_state_to_ref_lists(state) == lane_state_to_ref_lists(state0)
 
+    def test_nz1_roundtrip(self, bitswap):
+        # the nz=1 configs (mnist_compress.py:81-88 reswidth 64/256): one
+        # latent layer, analytic prior bins only (discretize nz==1 branch);
+        # Bit-Swap and BB-ANS degenerate to the same op stream
+        cfg = VAEConfig(xs=(32, 32, 1), nz=1, zchannels=1, nprocessing=1,
+                        resdepth=2, reswidth=8)
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        data = _structured_images(32, cfg.xs, 3).astype(np.float32)
+        params = data_dependent_init(params, cfg, jax.random.PRNGKey(1),
+                                     jnp.asarray(data))
+        bins = discretize_bins(params, cfg, quantbits=6,
+                               key=jax.random.PRNGKey(2), data=data,
+                               batch_size=64)
+        ccfg = CodecConfig(model=cfg, quantbits=6, bitswap=bitswap,
+                           table_dtype="float32", init_words=400, capacity=8192)
+        codec = make_codec(params, ccfg, bins)
+        L, T = 3, 2
+        xs = _structured_images(T * L, cfg.xs, 17).reshape(T, L, cfg.xdim)
+        state0 = codec.init_state(L)
+        state = codec.encode_datapoints(state0, jnp.asarray(xs))
+        state, decoded = codec.decode_datapoints(state, T)
+        np.testing.assert_array_equal(np.asarray(decoded), xs)
+        assert lane_state_to_ref_lists(state) == lane_state_to_ref_lists(state0)
+
     def test_rate_close_to_elbo(self, small_setup, bitswap):
         # coding overhead D = net bits/dim - ELBO bits/dim should be small
         # (reference observes ~0.001-0.02 b/d, SURVEY §6)

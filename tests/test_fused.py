@@ -164,3 +164,18 @@ class TestFusedCodecRoundTrip:
             rates[coder] = float(np.mean(
                 (net_words(st) - net_words(st0)) * 32.0 / (T * cfg.xdim)))
         assert abs(rates["fused"] - rates["tables"]) < 0.02, rates
+
+
+def test_affine_chunk_cap_scales_with_lane_rows():
+    # VMEM envelope rule (r5): chunk*R <= 512*8.  R<=8 keeps the proven 512
+    # chunk (existing compiled programs unchanged); larger lane counts halve
+    # it stepwise so the encode kernel's block residency stays under the
+    # 16MB scoped-VMEM limit (L=2048 overflowed by 32KB at chunk=512).
+    from bitswap_tpu.ans.fused import _affine_chunk_cap
+
+    assert _affine_chunk_cap(1) == 512
+    assert _affine_chunk_cap(8) == 512
+    assert _affine_chunk_cap(16) == 256
+    assert _affine_chunk_cap(32) == 128
+    assert _affine_chunk_cap(64) == 64
+    assert _affine_chunk_cap(4096) == 64  # floor

@@ -4,8 +4,9 @@ Measures, per flagship config (greyscale mnist-class nz=4/rw62 and RGB
 cifar-class nz=4/rw254), with TRAINED checkpoints when present:
 
 - end-to-end encode/decode MB/s through the complete pipeline (hierarchical
-  VAE passes, fused CDF evaluation, lane-parallel Pallas rANS) at up to two
-  lane counts (BENCH_FULL=1 adds a third);
+  VAE passes, fused CDF evaluation, lane-parallel Pallas rANS) at up to
+  three lane counts ending at the measured saturation point (mnist L=4096,
+  rgb L=2048; BENCH_FULL=1 adds a small-L point);
 - bit-exact round-trip + bits-back verification;
 - compression rate (net bits/dim) vs classical baselines (gzip/bz2/lzma/
   PNG/WebP) on the same test images, plus coding tightness D = net - ELBO;
@@ -382,7 +383,11 @@ def main():
         # primary mode bfloat16 (the TPU-native fast path; measured D
         # +0.007 b/d vs f32 on the trained model), f32 comparison point after
         if on_tpu:
-            mnist_plan = [("bfloat16", (256, 1024, 64) if full else (256, 1024)),
+            # 4096 is the measured saturation point (mnist_probe r5:
+            # 17.4/17.4/17.7 MB/s encode at L=1024/2048/4096); the budget
+            # gate skips it if the run is tight.
+            mnist_plan = [("bfloat16", (256, 1024, 4096, 64) if full
+                          else (256, 1024, 4096)),
                           ("float32", (1024,))]
         else:
             mnist_plan = [("float32", (8,))]
@@ -394,7 +399,7 @@ def main():
             detail["rgb"] = {}
             bench_config(
                 "cifar", rgb_cfg,
-                [("bfloat16", (256, 1024)), ("float32", (1024,))],
+                [("bfloat16", (256, 1024, 2048)), ("float32", (1024,))],
                 T=8, detail=detail["rgb"],
             )
         elif on_tpu:

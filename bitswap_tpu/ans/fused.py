@@ -262,8 +262,15 @@ def _affine_chunk_cap(R: int) -> int:
     envelope is chunk*R <= 512*8 (L=1024).  At L=2048 (R=16) a fixed 512
     chunk overflows scoped VMEM by exactly the last 32 KB (measured:
     'Ran out of memory in memory space vmem ... 16.03M and limit 16.00M',
-    rgb_probe r5); halving the chunk restores headroom."""
-    return max(64, (_AFFINE_CHUNK * 8) // max(R, 8))
+    rgb_probe r5); halving the chunk restores headroom.  The envelope is
+    not exactly chunk*R = const: the always-resident (R, 128) lane blocks
+    and scratch grow with R and eat the slack — at R=32 (L=4096) chunk*R =
+    4096 still overflowed by 80 KB (mnist_probe r5), so from R>=32 the cap
+    halves once more."""
+    cap = (_AFFINE_CHUNK * 8) // max(R, 8)
+    if R >= 32:
+        cap //= 2
+    return max(32, cap)
 
 
 def encode_window_affine_pallas(hi, lo, A, B, syms, S: int, kind: str):

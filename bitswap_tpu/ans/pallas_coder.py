@@ -441,8 +441,12 @@ def encode_window_pallas(hi, lo, p, c):
     c_p = _pad_lanes(c, 1, Lp, np.uint32(0)).reshape(seq, R, 128)
 
     # scale the chunk down with the lane-row count (same VMEM envelope as
-    # ans/fused.py:_affine_chunk_cap — chunk*R <= 512*8 is the proven fit)
-    chunk = _largest_chunk(seq, max(64, (_ENCODE_CHUNK * 8) // max(R, 8)))
+    # ans/fused.py:_affine_chunk_cap, incl. the extra halving from R>=32:
+    # the (R, 128) lane blocks eat the slack at high lane counts)
+    cap = (_ENCODE_CHUNK * 8) // max(R, 8)
+    if R >= 32:
+        cap //= 2
+    chunk = _largest_chunk(seq, max(32, cap))
     grid = seq // chunk
     lane_spec = pl.BlockSpec((R, 128), lambda g: (0, 0), memory_space=pltpu.VMEM)
     seq_spec = pl.BlockSpec((chunk, R, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
@@ -469,6 +473,37 @@ def encode_window_pallas(hi, lo, p, c):
     return hi2, lo2, words, mask
 
 
+def _decode_max_lane_rows(S: int, W: int) -> int:
+    """Lane-row cap per decode-kernel invocation.  The decode kernels' search
+    and word-select temporaries live in Mosaic scoped VMEM and scale as
+    max(S, W) * R * 128 * 4B; the proven fit is S*R = 8*1024 (S=1024 at
+    R=8, L=1024 — every table-mode bench/sweep).  R=16 measured 440KB over
+    the 16MB scoped limit and R=32 5.95M over (L=4096 repro, mnist_probe
+    r5).  Wider states split into lane groups of this many rows per call."""
+    return max(1, (8 * 1024) // max(S, W, 1))
+
+
+def _split_lanes(fn, n_tab_axes, hi, lo, tab, window, max_rows):
+    """Run a decode kernel in lane groups of max_rows*128 and concatenate.
+    tab is sliced on its last axis when it carries lanes (n_tab_axes=3,
+    lanes-last table); passed through whole otherwise (shared table)."""
+    L = hi.shape[0]
+    g = max_rows * 128
+    parts = []
+    for s in range(0, L, g):
+        e = min(s + g, L)
+        t = tab[:, :, s:e] if n_tab_axes == 3 else tab
+        parts.append(fn(hi[s:e], lo[s:e], t, window[:, s:e]))
+    import jax.numpy as jnp  # local: keep module import surface unchanged
+
+    return (
+        jnp.concatenate([p[0] for p in parts]),
+        jnp.concatenate([p[1] for p in parts]),
+        jnp.concatenate([p[2] for p in parts], axis=1),
+        jnp.concatenate([p[3] for p in parts]),
+    )
+
+
 def decode_window_pallas(hi, lo, cdf, window):
     """Same contract as decode_window_jnp, TPU Pallas implementation.
     cdf: (seq, S, L) uint32; window: (W, L) uint32."""
@@ -476,6 +511,9 @@ def decode_window_pallas(hi, lo, cdf, window):
     from jax.experimental.pallas import tpu as pltpu
 
     seq, S, L = cdf.shape
+    max_rows = _decode_max_lane_rows(S, window.shape[0])
+    if -(-L // 128) > max_rows:
+        return _split_lanes(decode_window_pallas, 3, hi, lo, cdf, window, max_rows)
     W = window.shape[0]
     R = -(-L // 128)
     Lp = R * 128
@@ -535,6 +573,10 @@ def decode_window_shared_pallas(hi, lo, cdf_shared, window):
     L = hi.shape[0]
     W = window.shape[0]
     R = -(-L // 128)
+    max_rows = _decode_max_lane_rows(S, W)
+    if R > max_rows:
+        return _split_lanes(decode_window_shared_pallas, 2, hi, lo,
+                            cdf_shared, window, max_rows)
     Lp = R * 128
 
     hi_p = _pad_lanes(hi, 0, Lp, np.uint32(1)).reshape(R, 128)

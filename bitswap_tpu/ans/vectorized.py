@@ -363,6 +363,18 @@ def ans_encode_lanes_shared(state: LaneState, cdf_shared, symbols) -> LaneState:
 _DECODE_SYM_CHUNK = 1024
 
 
+def _decode_sym_chunk(num_lanes: int) -> int:
+    """Per-L decode sub-op chunk: the Pallas decode kernels keep the whole
+    word window (W=chunk, R, 128) u32 block VMEM-resident, so once the lane
+    rows R = ceil(L/128) grow, W must shrink to keep W*R*512B inside the
+    16MB scoped limit.  W*R <= 16*1024 caps the window at 8MB (proven at
+    R<=16, i.e. L<=2048, with W=1024); at R=32 (L=4096) a 1024-symbol
+    window ALONE is 16MB — the entire scoped budget (measured OOM,
+    mnist_probe r5)."""
+    R = -(-num_lanes // 128)
+    return max(128, min(_DECODE_SYM_CHUNK, (16 * 1024) // max(R, 1)))
+
+
 def _decode_lanes_chunked(state: LaneState, seq: int, run):
     """Shared chunked-decode driver.
 
@@ -372,9 +384,10 @@ def _decode_lanes_chunked(state: LaneState, seq: int, run):
     window gathered at the current stack pointer."""
     hi, lo = state.hi, state.lo
     sp, under = state.sp, state.underflow
+    chunk = _decode_sym_chunk(state.num_lanes)
     parts = []
-    for start in reversed(range(0, seq, _DECODE_SYM_CHUNK)):
-        n = min(_DECODE_SYM_CHUNK, seq - start)
+    for start in reversed(range(0, seq, chunk)):
+        n = min(chunk, seq - start)
         window, bad = _pop_window(state._replace(sp=sp), n)
         hi, lo, syms, npop = run(hi, lo, window, start, n)
         under = under | (npop > sp) | bad

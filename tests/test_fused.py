@@ -167,15 +167,33 @@ class TestFusedCodecRoundTrip:
 
 
 def test_affine_chunk_cap_scales_with_lane_rows():
-    # VMEM envelope rule (r5): chunk*R <= 512*8.  R<=8 keeps the proven 512
-    # chunk (existing compiled programs unchanged); larger lane counts halve
-    # it stepwise so the encode kernel's block residency stays under the
-    # 16MB scoped-VMEM limit (L=2048 overflowed by 32KB at chunk=512).
+    # VMEM envelope rule (r5): chunk*R <= 512*8, with an extra halving from
+    # R>=32.  R<=8 keeps the proven 512 chunk (existing compiled programs
+    # unchanged); larger lane counts scale it down so the encode kernel's
+    # block residency stays under the 16MB scoped-VMEM limit (L=2048
+    # overflowed by 32KB at chunk=512; L=4096 overflowed by 80KB at
+    # chunk*R=4096 because the fixed (R,128) lane blocks grow with R).
     from bitswap_tpu.ans.fused import _affine_chunk_cap
 
     assert _affine_chunk_cap(1) == 512
     assert _affine_chunk_cap(8) == 512
     assert _affine_chunk_cap(16) == 256
-    assert _affine_chunk_cap(32) == 128
-    assert _affine_chunk_cap(64) == 64
-    assert _affine_chunk_cap(4096) == 64  # floor
+    assert _affine_chunk_cap(32) == 64
+    assert _affine_chunk_cap(64) == 32
+    assert _affine_chunk_cap(4096) == 32  # floor
+
+
+def test_decode_sym_chunk_scales_with_lane_rows():
+    # The decode kernels keep the whole (W=chunk, R, 128) word window
+    # resident in VMEM, so the sub-op symbol chunk shrinks with lane rows:
+    # W*R <= 16*1024 (8MB window).  L<=2048 keeps the tuned 1024 chunk; at
+    # L=4096 a 1024-symbol window alone is the whole 16MB scoped budget
+    # (measured OOM, mnist_probe r5).
+    from bitswap_tpu.ans.vectorized import _decode_sym_chunk
+
+    assert _decode_sym_chunk(100) == 1024
+    assert _decode_sym_chunk(1024) == 1024
+    assert _decode_sym_chunk(2048) == 1024
+    assert _decode_sym_chunk(4096) == 512
+    assert _decode_sym_chunk(8192) == 256
+    assert _decode_sym_chunk(1 << 20) == 128  # floor

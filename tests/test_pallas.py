@@ -70,6 +70,28 @@ class TestDecodeWindowParity:
         for r, g, name in zip(ref, got, ["hi", "lo", "syms", "npop"]):
             np.testing.assert_array_equal(np.asarray(g), np.asarray(r), err_msg=name)
 
+    def test_lane_group_split_matches_unsplit(self, monkeypatch):
+        # High lane counts split decode-kernel calls into lane groups
+        # (the S*R*128 search temporaries blow the 16MB scoped-VMEM limit
+        # from R=16 up — mnist_probe r5).  Force the split at a small L and
+        # pin bit-parity with the unsplit kernel on both wrapper variants.
+        rng = np.random.default_rng(3)
+        seq, S, L = 48, 32, 300  # R=3 lane rows
+        cdf = _random_tables_ll(rng, seq, S, L, quantbits=5)
+        cdf1 = _random_tables_ll(rng, seq, S, 1, quantbits=5)[..., 0]
+        hi, lo = _heads(rng, L)
+        window = jnp.asarray(
+            rng.integers(1 << 16, 1 << 32, size=(seq, L), dtype=np.uint32))
+
+        ref_ll = pc.decode_window_pallas(hi, lo, cdf, window)
+        ref_sh = pc.decode_window_shared_pallas(hi, lo, cdf1, window)
+        monkeypatch.setattr(pc, "_decode_max_lane_rows", lambda S, W: 1)
+        got_ll = pc.decode_window_pallas(hi, lo, cdf, window)
+        got_sh = pc.decode_window_shared_pallas(hi, lo, cdf1, window)
+        for ref, got in [(ref_ll, got_ll), (ref_sh, got_sh)]:
+            for r, g, name in zip(ref, got, ["hi", "lo", "syms", "npop"]):
+                np.testing.assert_array_equal(np.asarray(g), np.asarray(r), err_msg=name)
+
 
 class TestRoundTripThroughLaneOps:
     def test_encode_decode_roundtrip_pallas(self, monkeypatch):

@@ -165,13 +165,43 @@ class TestVectorizedVsReference:
             assert got[i] == want, f"lane {i} stream mismatch"
 
     @pytest.mark.parametrize(
-        "seq_len,support,quantbits",
-        # 600 exercises the chunked-window decode driver (three sub-ops, one
-        # ragged) — the chunk seam must be invisible in the symbol stream
-        [(64, 256, 8), (128, 1024, 10), (600, 256, 8)],
+        "seq_len,support,quantbits", [(64, 256, 8), (128, 1024, 10), (600, 256, 8)]
     )
     def test_decode_bitexact(self, seq_len, support, quantbits):
         rng = np.random.default_rng(21)
+        num_lanes = 4
+        tables, ref_coders = [], []
+        for _ in range(num_lanes):
+            coder, t = _make_coder(rng, seq_len, support, quantbits)
+            ref_coders.append(coder)
+            tables.append(np.asarray(t.cdf, np.uint32))
+        cdf = jnp.asarray(np.stack(tables))
+
+        lane = init_lane_state(num_lanes, capacity=seq_len + 300, init_words=250)
+        ref_states = [
+            RefState.from_reference_list(s) for s in lane_state_to_ref_lists(lane)
+        ]
+        lane, symbols = ans_decode_lanes(lane, cdf)
+        assert not np.any(np.asarray(lane.underflow))
+        got = lane_state_to_ref_lists(lane)
+        for i in range(num_lanes):
+            want_syms = ref_coders[i].decode(ref_states[i])
+            np.testing.assert_array_equal(np.asarray(symbols)[i], want_syms)
+            assert got[i] == ref_states[i].to_reference_list()
+
+    def test_decode_chunk_seams_bitexact(self, monkeypatch):
+        # The chunked-window decode driver splits each op into sub-ops of
+        # _decode_sym_chunk symbols (scaled down at high lane counts for
+        # VMEM).  Force a small chunk so seq=600 decodes as three sub-ops
+        # (88 + 256 + 256, consumed last-to-first): the chunk seams must be
+        # invisible — symbols and final state bit-identical to the scalar
+        # reference, exactly as in the unchunked run above.
+        from bitswap_tpu.ans import vectorized as V
+
+        monkeypatch.setattr(V, "_DECODE_SYM_CHUNK", 256)
+        assert V._decode_sym_chunk(4) == 256
+        rng = np.random.default_rng(23)
+        seq_len, support, quantbits = 600, 256, 8
         num_lanes = 4
         tables, ref_coders = [], []
         for _ in range(num_lanes):

@@ -494,8 +494,6 @@ def _split_lanes(fn, n_tab_axes, hi, lo, tab, window, max_rows):
         e = min(s + g, L)
         t = tab[:, :, s:e] if n_tab_axes == 3 else tab
         parts.append(fn(hi[s:e], lo[s:e], t, window[:, s:e]))
-    import jax.numpy as jnp  # local: keep module import surface unchanged
-
     return (
         jnp.concatenate([p[0] for p in parts]),
         jnp.concatenate([p[1] for p in parts]),

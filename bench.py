@@ -279,8 +279,13 @@ def bench_config(name, cfg, plan, T, detail):
     return detail
 
 
-def bench_train_step(name, cfg):
-    """steps/sec + MFU of the jitted train step (mnist_train.py:693-696)."""
+def bench_train_step(name, cfg, B=128):
+    """steps/sec + MFU of the jitted train step (mnist_train.py:693-696).
+
+    The final elbo is FETCHED, not just block_until_ready'd: on the
+    tunneled backend block_until_ready can return at dispatch time, which
+    measured a fantasy 410 steps/s (MFU 0.97) — the fetch forces the whole
+    20-step chain and reproduces the honest 116 steps/s."""
     import jax
     import jax.numpy as jnp
 
@@ -288,7 +293,6 @@ def bench_train_step(name, cfg):
     from bitswap_tpu.train.data import load_dataset
     from bitswap_tpu.train.runtime import TrainConfig, init_train_state, make_train_step
 
-    B = 128
     data, _ = load_dataset(name, "train", cfg.xs)
     batch = jnp.asarray(data[:B].astype(np.float32))
     key = jax.random.PRNGKey(0)
@@ -297,13 +301,15 @@ def bench_train_step(name, cfg):
     state = init_train_state(params, tcfg)
     step_fn = make_train_step(cfg, tcfg)
     state, m = step_fn(state, key, batch)
-    jax.block_until_ready(m["elbo"])
+    np.asarray(m["elbo"])
     N = 20
-    t0 = time.time()
-    for _ in range(N):
-        state, m = step_fn(state, key, batch)
-    jax.block_until_ready(m["elbo"])
-    dt = (time.time() - t0) / N
+    dt = float("inf")
+    for _ in range(3):  # best-of-3: late-session tunnel samples vary ~2x
+        t0 = time.time()
+        for _ in range(N):
+            state, m = step_fn(state, key, batch)
+        np.asarray(m["elbo"])  # forces the chained steps, see docstring
+        dt = min(dt, (time.time() - t0) / N)
     out = {"batch": B, "step_s": round(dt, 5), "steps_per_sec": round(1 / dt, 1),
            "images_per_sec": round(B / dt, 1)}
     flops = _flops_of(step_fn, state, key, batch)
@@ -409,6 +415,10 @@ def main():
             try:
                 detail["train_step"] = bench_train_step("mnist", mnist_cfg)
                 _log(f"train step: {detail['train_step']}")
+                if _remaining() > 150:  # batch scaling point: MFU rises with B
+                    detail["train_step_b256"] = bench_train_step(
+                        "mnist", mnist_cfg, B=256)
+                    _log(f"train step B=256: {detail['train_step_b256']}")
             except Exception as e:
                 _log(f"train-step bench failed: {e}")
         status["ok"] = True
